@@ -1,0 +1,38 @@
+"""rtpe_tpu — a TPU-native real-time multi-person pose-estimation framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+``andres-fr/realtime-pose-estimation`` (the reference lives at
+``/root/reference``; see ``SURVEY.md`` for the full component inventory):
+
+* HigherHRNet-W48 bottom-up teacher (17 COCO joints + associative
+  embeddings), rebuilt as Flax modules running bf16 on the MXU
+  (reference: ``rtpe/third_party/pose_higher_hrnet.py``).
+* Context-Aware-Module student family trained by distillation
+  (reference: ``rtpe/students.py``).
+* Fused on-device heatmap decoding (max-pool NMS, top-k, tag grouping,
+  quarter-pixel adjust, tag-guided refine) replacing the reference's
+  CPU numpy/munkres stack (``rtpe/third_party/group.py``).
+* A fixed-shape, device-resident data pipeline with one-matrix batched
+  affine augmentation replacing the per-channel PIL replay
+  (``rtpe/dataloaders.py``).
+* pjit/shard_map data-parallel training over a ``jax.sharding.Mesh``
+  (the reference is single-GPU only).
+
+Layout::
+
+  rtpe_tpu/
+    configs/    dataclass config tree (mirrors the legacy cfg schema)
+    models/     Flax modules: HRNet teacher, stem, student family
+    ops/        resize / pooling / color / affine ops with exact
+                reference (torch) numerical semantics
+    decode/     NMS + top-k (Pallas), AE grouping, adjust/refine
+    data/       COCO reader, RLE, Gaussian targets, augmentation
+    train/      losses, SGDR schedule, optax, pjit train step
+    eval/       OKS COCO keypoint evaluation (own implementation)
+    parallel/   mesh + sharding rules
+    io/         torch-statedict importer, orbax checkpoints
+    utils/      logging, timestamps, model summaries
+    native/     C++ helpers (LAP solver, RLE) with Python fallbacks
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,218 @@
+"""Torch-statedict -> Flax-variables importer.
+
+The pretrained HigherHRNet-W48 teacher ships as a torch statedict
+(reference path contract ``models/pose_higher_hrnet_w48_640.pth.tar``,
+``README.md:14``) whose keys carry a ``"1."`` prefix from the fp16
+``network_to_half`` Sequential wrapper (``rtpe/helpers.py:69``,
+``rtpe/students.py:275``).  This module maps those keys onto the flax
+module tree of :class:`rtpe_tpu.models.PoseHigherHRNet` /
+:class:`rtpe_tpu.models.StemHRNet`, with the layout conversions:
+
+* conv weight      OIHW   -> HWIO
+* conv-transpose   IOHW   -> HWIO (stored (kh, kw, in, out))
+* linear weight    (o, i) -> (i, o)
+* BN weight/bias/running_mean/running_var -> scale/bias/mean/var
+
+The mapping is *structural*: every leaf of the flax variable template is
+translated to exactly one torch key, and unmatched torch keys (other
+than ``num_batches_tracked``) are reported, so a silent partial load is
+impossible.
+"""
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+try:
+    from flax.traverse_util import flatten_dict, unflatten_dict
+except ImportError:  # pragma: no cover
+    flatten_dict = unflatten_dict = None
+
+
+def load_torch_statedict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch statedict file into numpy arrays (CPU, no grad)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().to(torch.float32).numpy()
+            for k, v in sd.items() if hasattr(v, "detach")}
+
+
+def strip_fp16_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Remove the ``network_to_half`` Sequential ``"1."`` key prefix."""
+    if all(k.startswith("1.") for k in sd):
+        return {k[2:]: v for k, v in sd.items()}
+    return sd
+
+
+# -----------------------------------------------------------------------------
+# flax-path -> torch-key translation
+# -----------------------------------------------------------------------------
+_BN_LEAVES = {"scale": "weight", "bias": "bias",
+              "mean": "running_mean", "var": "running_var"}
+
+
+def _block_inner(parts: Tuple[str, ...]) -> str:
+    """Translate the inside of a BasicBlock/Bottleneck."""
+    name = parts[0]
+    if name == "downsample_conv":
+        return "downsample.0"
+    if name == "downsample_bn":
+        return "downsample.1"
+    return name  # conv1/bn1/conv2/bn2/conv3/bn3
+
+
+def _teacher_prefix(parts: Tuple[str, ...]) -> str:
+    """Torch module prefix for a flax module path inside PoseHigherHRNet."""
+    head = parts[0]
+
+    m = re.fullmatch(r"(conv1|bn1|conv2|bn2)", head)
+    if m:
+        return head
+
+    m = re.fullmatch(r"layer1_(\d+)", head)
+    if m:
+        return f"layer1.{m.group(1)}." + _block_inner(parts[1:])
+
+    m = re.fullmatch(r"transition(\d)_(\d+)_(conv|bn)", head)
+    if m:
+        t, i, kind = m.groups()
+        idx = 0 if kind == "conv" else 1
+        return f"transition{t}.{i}.{idx}"
+
+    m = re.fullmatch(r"transition(\d)_(\d+)_(\d+)_(conv|bn)", head)
+    if m:
+        t, i, j, kind = m.groups()
+        idx = 0 if kind == "conv" else 1
+        return f"transition{t}.{i}.{j}.{idx}"
+
+    m = re.fullmatch(r"stage(\d)_(\d+)", head)
+    if m:
+        s, mod = m.groups()
+        inner = parts[1]
+        mi = re.fullmatch(r"branch(\d+)_(\d+)", inner)
+        if mi:
+            i, j = mi.groups()
+            return (f"stage{s}.{mod}.branches.{i}.{j}."
+                    + _block_inner(parts[2:]))
+        mi = re.fullmatch(r"fuse(\d+)_(\d+)_(conv|bn)", inner)
+        if mi:
+            i, j, kind = mi.groups()
+            idx = 0 if kind == "conv" else 1
+            return f"stage{s}.{mod}.fuse_layers.{i}.{j}.{idx}"
+        mi = re.fullmatch(r"fuse(\d+)_(\d+)_(\d+)_(conv|bn)", inner)
+        if mi:
+            i, j, k, kind = mi.groups()
+            idx = 0 if kind == "conv" else 1
+            return f"stage{s}.{mod}.fuse_layers.{i}.{j}.{k}.{idx}"
+        raise KeyError(f"unknown stage member {parts}")
+
+    m = re.fullmatch(r"final_(\d+)", head)
+    if m:
+        return f"final_layers.{m.group(1)}"
+
+    m = re.fullmatch(r"deconv(\d+)_tconv", head)
+    if m:
+        return f"deconv_layers.{m.group(1)}.0.0"
+
+    m = re.fullmatch(r"deconv(\d+)_bn", head)
+    if m:
+        return f"deconv_layers.{m.group(1)}.0.1"
+
+    m = re.fullmatch(r"deconv(\d+)_block(\d+)", head)
+    if m:
+        i, b = m.groups()
+        return (f"deconv_layers.{i}.{int(b) + 1}.0."
+                + _block_inner(parts[1:]))
+
+    raise KeyError(f"unknown teacher module path {parts}")
+
+
+def _convert_leaf(torch_arr: np.ndarray, leaf: str,
+                  is_tconv: bool) -> np.ndarray:
+    if leaf == "kernel":
+        if torch_arr.ndim == 4:
+            if is_tconv:  # torch (in, out, kh, kw) -> (kh, kw, in, out)
+                return np.transpose(torch_arr, (2, 3, 0, 1))
+            return np.transpose(torch_arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        if torch_arr.ndim == 2:  # linear (o, i) -> (i, o)
+            return torch_arr.T
+    return torch_arr
+
+
+def _import_by_translator(variables: Dict, sd: Dict[str, np.ndarray],
+                          prefix_fn) -> Dict:
+    """Generic walk: every template leaf gets its torch value."""
+    flat = flatten_dict(variables)
+    out = {}
+    used = set()
+    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    for path, template in flat.items():
+        collection, *mods, leaf = path
+        prefix = prefix_fn(tuple(mods))
+        if leaf not in suffixes:
+            raise KeyError(f"unknown leaf {path}")
+        key = f"{prefix}.{suffixes[leaf]}"
+        if key not in sd:
+            raise KeyError(f"torch statedict missing {key} (for {path})")
+        arr = _convert_leaf(np.asarray(sd[key]), leaf,
+                            is_tconv="tconv" in mods[-1])
+        if tuple(arr.shape) != tuple(np.shape(template)):
+            raise ValueError(
+                f"shape mismatch at {path}: torch {arr.shape} vs "
+                f"flax {np.shape(template)}")
+        out[path] = arr.astype(np.asarray(template).dtype
+                               if hasattr(template, "dtype") else np.float32)
+        used.add(key)
+    leftover = [k for k in sd
+                if k not in used and not k.endswith("num_batches_tracked")]
+    return unflatten_dict(out), leftover
+
+
+def import_teacher_statedict(variables: Dict,
+                             sd: Dict[str, np.ndarray],
+                             strict: bool = True) -> Dict:
+    """Fill a PoseHigherHRNet variable template from a torch statedict.
+
+    :param variables: output of ``model.init(...)`` (used as shape/dtype
+      template; contents are discarded).
+    :param sd: torch statedict as numpy (``load_torch_statedict``),
+      fp16-prefix already tolerated.
+    """
+    sd = strip_fp16_prefix(sd)
+    new_vars, leftover = _import_by_translator(variables, sd,
+                                               _teacher_prefix)
+    if strict and leftover:
+        raise ValueError(f"unconsumed torch keys: {leftover[:10]}"
+                         f" (+{max(0, len(leftover) - 10)} more)")
+    return new_vars
+
+
+_STEM_KEYS = re.compile(r"^(conv1|bn1|conv2|bn2|layer1)\.")
+
+
+def import_stem_statedict(variables: Dict, sd: Dict[str, np.ndarray],
+                          submodule: str = "stem") -> Dict:
+    """Fill the ``stem`` submodule of a student variable template from a
+    (full) teacher statedict, mirroring ``StemHRNet.load_pretrained``
+    (``rtpe/students.py:263-282``).  Other variables are left untouched.
+    """
+    sd = {k: v for k, v in strip_fp16_prefix(sd).items()
+          if _STEM_KEYS.match(k)}
+    flat = flatten_dict(variables)
+    stem_tpl = {}
+    for path, v in flat.items():
+        if len(path) > 1 and path[1] == submodule:
+            stem_tpl[(path[0],) + path[2:]] = v
+    stem_vars, leftover = _import_by_translator(
+        unflatten_dict(stem_tpl), sd, _teacher_prefix)
+    if leftover:
+        raise ValueError(f"unconsumed stem keys: {leftover}")
+    stem_flat = flatten_dict(stem_vars)
+    out = dict(flat)
+    for path, v in stem_flat.items():
+        out[(path[0], submodule) + path[1:]] = v
+    return unflatten_dict(out)

@@ -1,0 +1,14 @@
+"""Flax model zoo: HigherHRNet teacher + the CAM student family."""
+
+from .hrnet import HRNetConfig, PoseHigherHRNet, StageCfg, w48_config  # noqa: F401
+from .stem import STEM_OUT_CHANS, StemHRNet  # noqa: F401
+from .students import (  # noqa: F401
+    AttentionStudent,
+    AttentionStudentSteps,
+    CamStudent,
+    ContextAwareModule,
+    MultistageStudent,
+    RefinerStudent,
+    SELayer,
+    SkipConv,
+)

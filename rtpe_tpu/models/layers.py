@@ -1,0 +1,115 @@
+"""Low-level Flax layers with exact torch numerical semantics.
+
+All convolutions run NHWC with HWIO kernels (the MXU-native layout);
+parameters are stored fp32 (``param_dtype``) and computed in the module's
+``dtype`` (bf16 on TPU by default).  BatchNorm always computes in fp32 —
+the bf16 analog of the reference's fp16-model/fp32-BN policy
+(``rtpe/third_party/fp16_utils/fp16util.py:71-91``).
+"""
+
+from typing import Any, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+BN_MOMENTUM_TORCH = 0.1  # reference pose_higher_hrnet.py:36
+BN_EPS = 1e-5
+
+
+def torch_bn_momentum(torch_momentum: float = BN_MOMENTUM_TORCH) -> float:
+    """torch momentum m means running = (1-m)*running + m*batch; flax
+    momentum is the (1-m) factor."""
+    return 1.0 - torch_momentum
+
+
+def conv(features: int, ksize: int = 3, stride: int = 1, padding: int = 0,
+         dilation: int = 1, bias: bool = False, dtype: Dtype = jnp.float32,
+         name: str = None) -> nn.Conv:
+    """torch ``nn.Conv2d`` equivalent (explicit symmetric padding)."""
+    return nn.Conv(
+        features=features,
+        kernel_size=(ksize, ksize),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def batch_norm(momentum: float = BN_MOMENTUM_TORCH,
+               name: str = None) -> nn.BatchNorm:
+    """torch ``nn.BatchNorm2d`` equivalent (fp32 compute, fp32 stats)."""
+    return nn.BatchNorm(
+        momentum=torch_bn_momentum(momentum),
+        epsilon=BN_EPS,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class TorchConvTranspose(nn.Module):
+    """torch ``nn.ConvTranspose2d`` with stride/padding semantics.
+
+    The kernel parameter is stored (kh, kw, in_ch, out_ch); the forward
+    pass is the mathematically equivalent dilated convolution:
+    ``conv(dilate(x, s), flip(W), pad = k - 1 - p)``.
+
+    Used only by the HRNet deconv head (reference
+    ``pose_higher_hrnet.py:513-524``: k=4, s=2, p=1, no bias).
+    """
+
+    features: int
+    ksize: int = 4
+    stride: int = 2
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.001),
+            (self.ksize, self.ksize, in_ch, self.features), jnp.float32)
+        k = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
+        pad = self.ksize - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(self.dtype)
+
+
+class ConvBNRelu(nn.Module):
+    """conv -> BN -> optional ReLU, the ubiquitous reference triple."""
+
+    features: int
+    ksize: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    bias: bool = False
+    relu: bool = True
+    bn_momentum: float = BN_MOMENTUM_TORCH
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = conv(self.features, self.ksize, self.stride, self.padding,
+                 self.dilation, self.bias, self.dtype, name="conv")(x)
+        x = batch_norm(self.bn_momentum, name="bn")(
+            x, use_running_average=not train)
+        x = x.astype(self.dtype)
+        if self.relu:
+            x = nn.relu(x)
+        return x

@@ -1,0 +1,109 @@
+"""Resampling ops with exact torch ``F.interpolate`` semantics.
+
+The reference uses three resampling flavours that must be reproduced
+bit-for-bit (within fp32 tolerance) for parity:
+
+* bilinear / ``align_corners=True``  — model-internal resizes
+  (reference ``rtpe/students.py:196-198,384-385``,
+  ``validate_hhrnet.py:94-98``, ``rtpe/dataloaders.py:157-164``)
+* bilinear / ``align_corners=False`` — training-loop target resizes
+  (reference ``distillation.py:315-324``)
+* nearest ×2^k                        — HRNet fuse-layer upsampling
+  (reference ``rtpe/third_party/pose_higher_hrnet.py:209``) and
+  attention-pyramid upsampling (``rtpe/students.py:998-1001``)
+
+``jax.image.resize`` implements neither torch convention, so bilinear
+resize is built here as two separable interpolation matmuls.  On TPU this
+is also the *fast* formulation: an (out, in) weight matrix contraction
+runs on the MXU instead of gather units.
+
+All functions take NHWC (or any rank-4 layout with spatial dims 1, 2).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_weight_matrix(in_size: int, out_size: int,
+                            align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) interpolation matrix, fp32.
+
+    Row ``o`` holds the two source weights used by torch's bilinear
+    interpolation for output index ``o``.
+    """
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        w[:, 0] = 1.0
+        return w
+    if align_corners:
+        if out_size == 1:
+            # torch maps the single output pixel to source coord 0
+            w[0, 0] = 1.0
+            return w
+        scale = (in_size - 1) / (out_size - 1)
+        src = np.arange(out_size, dtype=np.float64) * scale
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = src - lo
+    w[np.arange(out_size), lo] = (1.0 - frac).astype(np.float32)
+    w[np.arange(out_size), lo + 1] = frac.astype(np.float32)
+    return w
+
+
+@partial(jax.jit, static_argnames=("out_hw", "align_corners"))
+def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = True):
+    """Bilinear resize of NHWC ``x`` to ``out_hw`` with torch semantics.
+
+    Runs as two MXU matmuls: H-contraction then W-contraction, with fp32
+    accumulation regardless of input dtype.
+    """
+    out_h, out_w = out_hw
+    _, in_h, in_w, _ = x.shape
+    dtype = x.dtype
+    if (out_h, out_w) == (in_h, in_w):
+        return x
+    wh = jnp.asarray(_bilinear_weight_matrix(in_h, out_h, align_corners))
+    ww = jnp.asarray(_bilinear_weight_matrix(in_w, out_w, align_corners))
+    y = jnp.einsum("oh,bhwc->bowc", wh, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,bowc->bopc", ww, y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(dtype)
+
+
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    # torch 'nearest' (legacy): src = floor(dst * in/out)
+    idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def resize_nearest(x: jax.Array, out_hw):
+    """Nearest resize of NHWC ``x`` with torch ``mode='nearest'`` indices."""
+    out_h, out_w = out_hw
+    _, in_h, in_w, _ = x.shape
+    if (out_h, out_w) == (in_h, in_w):
+        return x
+    hi = jnp.asarray(_nearest_indices(in_h, out_h))
+    wi = jnp.asarray(_nearest_indices(in_w, out_w))
+    return x[:, hi][:, :, wi]
+
+
+def upsample_nearest(x: jax.Array, factor: int):
+    """Exact torch ``nn.Upsample(scale_factor=k, mode='nearest')``.
+
+    For integer factors nearest upsampling is a pure repeat, which XLA
+    lowers to a broadcast (no gather).
+    """
+    if factor == 1:
+        return x
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
