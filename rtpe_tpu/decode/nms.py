@@ -1,0 +1,62 @@
+"""Device-side decode: max-pool NMS and per-joint top-k.
+
+Reference behavior (``rtpe/third_party/group.py:132-179``): suppress
+non-peak pixels by comparing with a k×k max-pool, then take the
+``max_num_people`` highest responses per joint, gathering their tag
+vectors and (x, y) integer locations.
+
+Here the whole step is one jitted NHWC computation over the full batch;
+no host transfer happens until grouping.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pooling import max_pool
+
+
+@partial(jax.jit, static_argnames=("ksize", "padding"))
+def nms_heatmaps(det: jax.Array, ksize: int = 5, padding: int = 2):
+    """Zero out non-peak pixels.  ``det`` is (B, H, W, J)."""
+    maxm = max_pool(det, ksize, 1, padding)
+    keep = (maxm == det).astype(det.dtype)
+    return det * keep
+
+
+@partial(jax.jit, static_argnames=("max_people", "ksize", "padding",
+                                   "tag_per_joint"))
+def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
+          ksize: int = 5, padding: int = 2,
+          tag_per_joint: bool = True) -> Tuple[jax.Array, jax.Array,
+                                               jax.Array]:
+    """NMS + per-joint top-k peak extraction, fully on device.
+
+    :param det: (B, H, W, J) heatmaps.
+    :param tag: (B, H, W, J*D) or (B, H, W, D) tag maps (D tag dims per
+      joint; D=1 for the students, J dims total for the teacher with
+      ``tag_per_joint``).
+    :returns: ``(val_k, loc_k, tag_k)`` with shapes (B, J, K),
+      (B, J, K, 2) [x, y int32], (B, J, K, D).
+    """
+    b, h, w, j = det.shape
+    peaks = nms_heatmaps(det, ksize, padding)
+    flat = peaks.transpose(0, 3, 1, 2).reshape(b, j, h * w)
+    val_k, ind = jax.lax.top_k(flat, max_people)  # (B, J, K)
+
+    x = (ind % w).astype(jnp.int32)
+    y = (ind // w).astype(jnp.int32)
+    loc_k = jnp.stack([x, y], axis=-1)
+
+    if tag_per_joint:
+        d = tag.shape[-1] // j
+        tagj = tag.reshape(b, h, w, j, d).transpose(0, 3, 1, 2, 4)
+        tagj = tagj.reshape(b, j, h * w, d)
+    else:
+        d = tag.shape[-1]
+        tagj = tag.reshape(b, 1, h * w, d)
+        tagj = jnp.broadcast_to(tagj, (b, j, h * w, d))
+    tag_k = jnp.take_along_axis(tagj, ind[..., None], axis=2)
+    return val_k, loc_k, tag_k

@@ -1,0 +1,166 @@
+"""HeatmapParser: the full decode pipeline with the reference's API.
+
+Equivalent of ``rtpe/third_party/group.py:125-287``: device-side
+NMS/top-k (jit, batched), host-side grouping, quarter-pixel adjust
+(DARK-style) and tag-guided refinement of missed joints.
+
+Inputs are NHWC jax arrays (or numpy); the reference took NCHW torch
+tensors — callers inside this package always produce NHWC.
+"""
+
+from typing import List, Tuple
+
+import numpy as np
+
+from .group import GroupingParams, match_by_tag
+from .nms import top_k
+
+
+def adjust_people(people: np.ndarray, det_hw_j: np.ndarray) -> np.ndarray:
+    """Quarter-pixel adjust toward the heatmap gradient + 0.5 centering.
+
+    Semantics of reference ``HeatmapParser.adjust`` (``group.py:181-200``)
+    for one image.
+
+    :param people: (P, J, 3+D) grouped joints, x/y in columns 0/1.
+    :param det_hw_j: (H, W, J) heatmaps (numpy, host).
+    """
+    h, w, _ = det_hw_j.shape
+    for person in people:
+        for joint_id, joint in enumerate(person):
+            if joint[2] > 0:
+                xf, yf = joint[0:2]
+                xi, yi = int(xf), int(yf)
+                tmp = det_hw_j[:, :, joint_id]
+                # x direction (columns)
+                if tmp[yi, min(xi + 1, w - 1)] > tmp[yi, max(xi - 1, 0)]:
+                    xf += 0.25
+                else:
+                    xf -= 0.25
+                # y direction (rows)
+                if tmp[min(yi + 1, h - 1), xi] > tmp[max(0, yi - 1), xi]:
+                    yf += 0.25
+                else:
+                    yf -= 0.25
+                joint[0:2] = (xf + 0.5, yf + 0.5)
+    return people
+
+
+def refine_person(det: np.ndarray, tag: np.ndarray,
+                  keypoints: np.ndarray) -> np.ndarray:
+    """Recover missed joints of one person by tag-distance-penalized
+    argmax (reference ``HeatmapParser.refine``, ``group.py:202-264``).
+
+    :param det: (H, W, J) heatmaps.
+    :param tag: (H, W, J, D) tag maps.
+    :param keypoints: (J, 3+D) this person's joints (modified copy
+      returned).
+    """
+    h, w, num_joints = det.shape
+    if tag.ndim == 3:
+        tag = tag[:, :, :, None]
+
+    tags = []
+    for i in range(keypoints.shape[0]):
+        if keypoints[i, 2] > 0:
+            x, y = keypoints[i][:2].astype(np.int32)
+            x = np.clip(x, 0, w - 1)
+            y = np.clip(y, 0, h - 1)
+            tags.append(tag[y, x, i])
+    if not tags:
+        return keypoints
+    prev_tag = np.mean(tags, axis=0)
+
+    ans = []
+    for i in range(keypoints.shape[0]):
+        tmp = det[:, :, i]
+        tt = np.sqrt(((tag[:, :, i] - prev_tag[None, None, :]) ** 2)
+                     .sum(axis=2))
+        tmp2 = tmp - np.round(tt)
+        y, x = np.unravel_index(np.argmax(tmp2), tmp.shape)
+        xx, yy = x, y
+        val = tmp[y, x]
+        x = x + 0.5
+        y = y + 0.5
+        if tmp[yy, min(xx + 1, w - 1)] > tmp[yy, max(xx - 1, 0)]:
+            x += 0.25
+        else:
+            x -= 0.25
+        if tmp[min(yy + 1, h - 1), xx] > tmp[max(0, yy - 1), xx]:
+            y += 0.25
+        else:
+            y -= 0.25
+        ans.append((x, y, val))
+    ans = np.array(ans)
+
+    for i in range(num_joints):
+        if ans[i, 2] > 0 and keypoints[i, 2] == 0:
+            keypoints[i, :2] = ans[i, :2]
+            keypoints[i, 2] = ans[i, 2]
+    return keypoints
+
+
+class HeatmapParser:
+    """Same constructor surface as the reference class (``group.py:125``)."""
+
+    def __init__(self, num_joints=17, max_num_people=30,
+                 detection_threshold=0.1, tag_threshold=1.0,
+                 use_detection_val=True, ignore_too_much=False,
+                 tag_per_joint=True, nms_ksize=5, nms_padding=2):
+        self.params = GroupingParams(num_joints, max_num_people,
+                                     detection_threshold, tag_threshold,
+                                     use_detection_val, ignore_too_much)
+        self.tag_per_joint = tag_per_joint
+        self.nms_ksize = nms_ksize
+        self.nms_padding = nms_padding
+
+    def top_k(self, det, tag):
+        """Device-side NMS + top-k.  det (B, H, W, J); tag (B, H, W, T)."""
+        val_k, loc_k, tag_k = top_k(
+            det, tag, self.params.max_num_people,
+            self.nms_ksize, self.nms_padding, self.tag_per_joint)
+        return (np.asarray(val_k, dtype=np.float32),
+                np.asarray(loc_k, dtype=np.int32),
+                np.asarray(tag_k, dtype=np.float32))
+
+    def match(self, val_k, loc_k, tag_k) -> List[np.ndarray]:
+        return [match_by_tag(t, l, v, self.params)
+                for t, l, v in zip(tag_k, loc_k, val_k)]
+
+    def parse(self, det, tag, adjust: bool = True,
+              refine: bool = True) -> Tuple[List[np.ndarray], List[float]]:
+        """Full decode of a batch-1 NHWC heatmap/tag pair.
+
+        :returns: ``([people], scores)``: people (P, J, 3+D) float32,
+          scores list of per-person mean joint values (pre-refine, like
+          the reference, ``group.py:272``).
+        """
+        det = np.asarray(det, dtype=np.float32) if not hasattr(
+            det, "device") else det
+        val_k, loc_k, tag_k = self.top_k(det, tag)
+        ans = self.match(val_k, loc_k, tag_k)
+
+        det_np = np.asarray(det, dtype=np.float32)
+        tag_np = np.asarray(tag, dtype=np.float32)
+
+        if adjust:
+            for b, people in enumerate(ans):
+                ans[b] = adjust_people(people, det_np[b])
+
+        scores = [float(person[:, 2].mean()) for person in ans[0]]
+
+        if refine:
+            people = ans[0]
+            h, w, j = det_np[0].shape
+            if self.tag_per_joint:
+                d = tag_np.shape[-1] // j
+                tag_img = tag_np[0].reshape(h, w, j, d)
+            else:
+                d = tag_np.shape[-1]
+                tag_img = np.broadcast_to(tag_np[0][:, :, None, :],
+                                          (h, w, j, d))
+            for i in range(len(people)):
+                people[i] = refine_person(det_np[0], tag_img, people[i])
+            ans = [people]
+
+        return ans, scores

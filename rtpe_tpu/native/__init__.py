@@ -1,0 +1,87 @@
+"""Native (C++) helpers with pure-Python fallbacks.
+
+The reference delegates its CPU-native needs to libraries (munkres,
+pycocotools's C extension, OpenCV — SURVEY.md §2.4).  None of those are
+assumed here: this package builds its own small C++ library
+(``librtpe_native.so``) and falls back to numpy/scipy when the shared
+object has not been compiled.
+
+Currently provided:
+
+* ``lap_solve(cost)``   — square linear assignment (Jonker-Volgenant)
+* ``rle_decode/encode`` — COCO compressed RLE masks (see data/rle.py)
+"""
+
+import ctypes
+import os
+from typing import Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _load_lib():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    so = os.path.join(os.path.dirname(__file__), "librtpe_native.so")
+    if os.path.exists(so):
+        try:
+            lib = ctypes.CDLL(so)
+            lib.lap_solve.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.lap_solve.restype = ctypes.c_int
+            _LIB = lib
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the C++ library in place with g++.  Returns success."""
+    import subprocess
+    here = os.path.dirname(__file__)
+    src = [os.path.join(here, "lap.cpp"), os.path.join(here, "rle.cpp")]
+    src = [s for s in src if os.path.exists(s)]
+    if not src:
+        return False
+    out = os.path.join(here, "librtpe_native.so")
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", out] + src
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if verbose and res.returncode != 0:
+            print(res.stderr)
+        global _LIB_TRIED
+        _LIB_TRIED = False
+        return res.returncode == 0
+    except FileNotFoundError:
+        return False
+
+
+def lap_solve(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal-cost square assignment.
+
+    :param cost: (k, k) float64 cost matrix.
+    :returns: (rows, cols) int arrays, rows == arange(k).
+    """
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    k = cost.shape[0]
+    assert cost.shape == (k, k), "lap_solve needs a square matrix"
+    lib = _load_lib()
+    if lib is not None:
+        rows = np.arange(k, dtype=np.int32)
+        cols = np.zeros(k, dtype=np.int32)
+        rc = lib.lap_solve(
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        if rc == 0:
+            return rows.astype(np.int64), cols.astype(np.int64)
+    from scipy.optimize import linear_sum_assignment
+    rows, cols = linear_sum_assignment(cost)
+    return rows, cols

@@ -1,0 +1,137 @@
+"""Decode-stack parity vs the reference grouping implementation.
+
+The reference depends on the pure-python ``munkres`` package (not
+installed); a scipy-backed shim with identical semantics (zero-pad to
+square, return only original-cell pairs) stands in for it so the
+reference module can run as ground truth.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from conftest import add_reference_to_path, has_reference
+
+from rtpe_tpu.decode import HeatmapParser, munkres_assign
+from rtpe_tpu.native import build as build_native, lap_solve
+
+
+def _install_munkres_shim():
+    from scipy.optimize import linear_sum_assignment
+
+    class Munkres:
+        def compute(self, cost):
+            cost = np.asarray(cost, dtype=float)
+            n, m = cost.shape
+            k = max(n, m)
+            sq = np.zeros((k, k))
+            sq[:n, :m] = cost
+            rows, cols = linear_sum_assignment(sq)
+            return [(int(r), int(c)) for r, c in zip(rows, cols)
+                    if r < n and c < m]
+
+    mod = types.ModuleType("munkres")
+    mod.Munkres = Munkres
+    sys.modules.setdefault("munkres", mod)
+
+
+def _make_scene(seed=0, h=64, w=80, num_people=3, num_joints=17,
+                tag_per_joint=True, sigma=2.0):
+    """Plant gaussian peaks with per-person tag values."""
+    rng = np.random.RandomState(seed)
+    det = np.zeros((h, w, num_joints), np.float32)
+    tdim = num_joints if tag_per_joint else 1
+    tag = rng.randn(h, w, tdim).astype(np.float32) * 0.05
+    yy, xx = np.mgrid[0:h, 0:w]
+    for p in range(num_people):
+        tval = float(p) * 2.0
+        for j in range(num_joints):
+            if rng.rand() < 0.2:
+                continue  # some missing joints
+            cx = rng.randint(4, w - 4)
+            cy = rng.randint(4, h - 4)
+            g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma ** 2))
+            det[:, :, j] = np.maximum(det[:, :, j],
+                                      g * rng.uniform(0.5, 1.0))
+            ti = j if tag_per_joint else 0
+            blob = g > 0.3
+            tag[blob, ti] = tval + rng.randn() * 0.05
+    return det, tag
+
+
+def test_lap_matches_scipy_on_random():
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.RandomState(1)
+    for k in (1, 2, 5, 13, 30):
+        cost = rng.rand(k, k)
+        r1, c1 = lap_solve(cost)
+        r2, c2 = linear_sum_assignment(cost)
+        assert cost[r1, c1].sum() == pytest.approx(cost[r2, c2].sum())
+
+
+def test_native_lap_builds_and_matches():
+    ok = build_native(verbose=True)
+    assert ok, "g++ build of librtpe_native.so failed"
+    from rtpe_tpu import native
+    lib = native._load_lib()
+    assert lib is not None
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.RandomState(7)
+    for k in (3, 10, 30, 60):
+        cost = rng.rand(k, k) * 100
+        r, c = lap_solve(cost)
+        assert sorted(c) == list(range(k))
+        r2, c2 = linear_sum_assignment(cost)
+        assert cost[r, c].sum() == pytest.approx(cost[r2, c2].sum())
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+@pytest.mark.parametrize("tag_per_joint", [True, False])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_parse_matches_reference(tag_per_joint, seed):
+    _install_munkres_shim()
+    add_reference_to_path()
+    from rtpe.third_party.group import HeatmapParser as RefParser
+
+    det, tag = _make_scene(seed=seed, tag_per_joint=tag_per_joint)
+    h, w, j = det.shape
+    kw = dict(num_joints=17, max_num_people=30, detection_threshold=0.1,
+              tag_threshold=1.0, use_detection_val=True,
+              ignore_too_much=False, tag_per_joint=tag_per_joint,
+              nms_ksize=5, nms_padding=2)
+
+    ref = RefParser(**kw)
+    t_det = torch.from_numpy(det.transpose(2, 0, 1)[None])
+    t_tag = torch.from_numpy(tag.transpose(2, 0, 1)[None]).unsqueeze(-1)
+    ref_ans, ref_scores = ref.parse(t_det, t_tag, adjust=True, refine=True)
+
+    ours = HeatmapParser(**kw)
+    j_det = jnp.asarray(det[None])
+    j_tag = jnp.asarray(tag[None])
+    our_ans, our_scores = ours.parse(j_det, j_tag, adjust=True, refine=True)
+
+    ref_people = ref_ans[0]
+    our_people = our_ans[0]
+    assert len(ref_people) == len(our_people)
+    np.testing.assert_allclose(our_scores, ref_scores, rtol=1e-5, atol=1e-6)
+    for rp, op in zip(ref_people, our_people):
+        np.testing.assert_allclose(op, rp, rtol=1e-4, atol=1e-4)
+
+
+def test_munkres_assign_rectangular_semantics():
+    _install_munkres_shim()
+    from munkres import Munkres
+    rng = np.random.RandomState(3)
+    for n, m in [(3, 5), (5, 5), (2, 7)]:
+        cost = rng.rand(n, m)
+        want = Munkres().compute(cost.tolist())
+        got = [(int(r), int(c)) for r, c in munkres_assign(cost)
+               if r < n and c < m]
+        w_cost = sum(cost[r, c] for r, c in want)
+        g_cost = sum(cost[r, c] for r, c in got)
+        assert g_cost == pytest.approx(w_cost)
