@@ -160,7 +160,7 @@ class RefinerStudent(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, out_hw=None,
                  train: bool = False) -> jax.Array:
-        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, False)
+        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, train)
         stem_out = _frozen(stem_out, self.trainable_stem)
         ch = STEM_OUT_CHANS
         out_ch = self.num_heatmaps + self.ae_dims
@@ -190,7 +190,7 @@ class MultistageStudent(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, out_hw=None,
                  train: bool = False) -> Tuple[jax.Array, ...]:
-        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, False)
+        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, train)
         stem_out = _frozen(stem_out, self.trainable_stem)
         if out_hw is not None:
             stem_out = resize_bilinear(stem_out, tuple(out_hw),
@@ -231,7 +231,7 @@ class CamStudent(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, out_hw=None,
                  train: bool = False) -> Tuple[jax.Array, ...]:
-        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, False)
+        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, train)
         # quirk: reference runs mid_stem inside the same no_grad block as
         # the stem (students.py:576-578), so it never receives gradients
         s = conv(self.inplanes, 3, 1, 1, dtype=self.dtype,
@@ -294,7 +294,7 @@ class AttentionStudent(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, out_hw=None,
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
-        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, False)
+        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, train)
         mid_ch = (STEM_OUT_CHANS + self.inplanes) // 2
         s = conv(mid_ch, 3, 1, 1, dtype=self.dtype,
                  name="mid_stem_conv0")(stem_out)
@@ -342,13 +342,20 @@ class AttentionStudentSteps(nn.Module):
     ae_dims: int = 0
     alt_planes: int = 50
     trainable_stem: bool = False
+    # During training the reference steps its attention optimizer before
+    # the detection backward, so detection-loss gradients into the
+    # attention branch are computed but never applied
+    # (distillation.py:326-336).  Setting this detaches the attention map
+    # on the detection path, reproducing the *effective* update rule in a
+    # single backward pass.
+    detach_att_for_det: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, alt: jax.Array, out_hw=None,
                  att_divisor: Optional[jax.Array] = None,
                  train: bool = False) -> Tuple[jax.Array, jax.Array]:
-        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, False)
+        stem_out = StemHRNet(dtype=self.dtype, name="stem")(x, train)
         mid_ch = (STEM_OUT_CHANS + self.inplanes) // 2
         s = conv(mid_ch, 3, 1, 1, dtype=self.dtype,
                  name="mid_stem_conv0")(stem_out)
@@ -390,7 +397,9 @@ class AttentionStudentSteps(nn.Module):
             att = att / att_divisor
         att = nn.sigmoid(att)
 
-        s = s * att.astype(self.dtype)
+        att_for_det = (jax.lax.stop_gradient(att)
+                       if self.detach_att_for_det else att)
+        s = s * att_for_det.astype(self.dtype)
         s = jnp.concatenate([s, alt_stem_out], axis=-1)  # 2*inplanes + 3
 
         for i in range(3):

@@ -18,8 +18,10 @@ from jax import lax
 @partial(jax.jit, static_argnames=("ksize", "stride", "padding"))
 def max_pool(x: jax.Array, ksize: int, stride: int = 1, padding: int = 0):
     """NHWC max pool; pads with -inf like torch."""
-    neg = jnp.array(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-                    else jnp.iinfo(x.dtype).min, dtype=x.dtype)
+    # NOTE: the init value must be a python literal — a traced/array init
+    # blocks lowering to reduce_window_max and with it autodiff support.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) \
+        else int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x, neg, lax.max,
         window_dimensions=(1, ksize, ksize, 1),
@@ -35,7 +37,7 @@ def avg_pool(x: jax.Array, ksize: int, stride: int = 1, padding: int = 0,
     """NHWC average pool with torch's ``count_include_pad`` options."""
     dtype = x.dtype
     summed = lax.reduce_window(
-        x.astype(jnp.float32), jnp.float32(0), lax.add,
+        x.astype(jnp.float32), 0.0, lax.add,
         window_dimensions=(1, ksize, ksize, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
@@ -45,7 +47,7 @@ def avg_pool(x: jax.Array, ksize: int, stride: int = 1, padding: int = 0,
         return (summed / count).astype(dtype)
     ones = jnp.ones((1, x.shape[1], x.shape[2], 1), dtype=jnp.float32)
     count = lax.reduce_window(
-        ones, jnp.float32(0), lax.add,
+        ones, 0.0, lax.add,
         window_dimensions=(1, ksize, ksize, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),

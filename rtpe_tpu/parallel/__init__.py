@@ -1,0 +1,3 @@
+"""Device mesh + sharding rules (data parallel over ICI, DCN-ready)."""
+
+from .mesh import make_mesh, shard_batch, replicate  # noqa: F401
