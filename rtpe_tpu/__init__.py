@@ -36,3 +36,25 @@ Layout::
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache():
+    """First compiles cost 30-180 s on TPU; cache executables on disk so
+    every process after the first pays ~nothing for known shapes.
+    Opt out with RTPE_NO_XLA_CACHE=1."""
+    import os
+    if os.environ.get("RTPE_NO_XLA_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "RTPE_XLA_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "rtpe_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compilation_cache()

@@ -1,0 +1,172 @@
+"""Fixed-shape, device-augmented training pipeline.
+
+The reference's data path is its biggest bottleneck: per-sample python
+loading with ``num_workers=0`` and per-*channel* PIL augmentation replay
+(``distillation.py:278-283``, SURVEY.md §3.5).  The TPU pipeline here:
+
+1. host: decode + pad every sample onto a fixed canvas (numpy only),
+2. device: render Gaussian targets from joints, then warp *all* planes
+   of the batch with one affine matrix per sample in a single batched
+   ``affine_warp`` (image, alt image, masks, teacher maps, heatmaps
+   together), entirely inside one jitted program,
+3. a background thread keeps one batch ahead (double buffering).
+
+Every batch has identical shapes -> one XLA compilation.
+"""
+
+import queue
+import threading
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.affine import affine_warp
+from ..ops.color import rgb_to_hsv, rgb_to_lab
+from .augment import AugmentConfig, sample_affine_matrices
+from .preprocess import IMG_MEAN, IMG_STD
+from .targets import render_heatmaps
+
+MAX_PEOPLE = 30
+
+
+@partial(jax.jit, static_argnames=("out_hw", "sigma", "num_joints",
+                                   "alt_colorspace"))
+def _augment_batch_device(imgs, masks, segms, teacher_hms, teacher_ae,
+                          joints, matrices, out_hw: Tuple[int, int],
+                          sigma: float, num_joints: int,
+                          alt_colorspace: str):
+    """One fused device program: normalize, colorspace, render, warp."""
+    imgs = imgs.astype(jnp.float32)
+    alt_fn = rgb_to_lab if alt_colorspace == "LAB" else rgb_to_hsv
+    img_alt = alt_fn(imgs)
+    img_norm = (imgs - jnp.asarray(IMG_MEAN)) / jnp.asarray(IMG_STD)
+    gt_hms = render_heatmaps(joints, imgs.shape[1:3], sigma)
+
+    planes = jnp.concatenate([
+        img_norm, img_alt, masks[..., None], segms[..., None],
+        gt_hms, teacher_hms, teacher_ae,
+    ], axis=-1)
+    warped = affine_warp(planes, matrices, out_hw)
+
+    i = 0
+    def take(n):
+        nonlocal i
+        out = warped[..., i:i + n]
+        i += n
+        return out
+
+    out = {
+        "img": take(3),
+        "img_alt": take(3),
+        "mask": take(1),
+        "segm_mask": take(1),
+        "gt_hms": take(num_joints),
+        "teacher_hms": take(teacher_hms.shape[-1]),
+        "teacher_ae": take(teacher_ae.shape[-1]),
+    }
+    return out
+
+
+class TrainPipeline:
+    """Iterate device-ready augmented batches from a
+    :class:`CocoDistillationDataset`."""
+
+    def __init__(self, dataset, batch_size: int = 16,
+                 out_hw: Tuple[int, int] = (450, 450),
+                 sigma: float = 7.0,
+                 canvas_hw: Tuple[int, int] = (640, 640),
+                 augment: Optional[AugmentConfig] = None,
+                 alt_colorspace: str = "LAB",
+                 teacher_ae_dims: int = 17,
+                 seed: int = 0,
+                 shuffle: bool = True,
+                 prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.out_hw = tuple(out_hw)
+        self.sigma = float(sigma)
+        self.canvas_hw = tuple(canvas_hw)
+        self.augment = augment or AugmentConfig(out_hw=self.out_hw)
+        self.alt_colorspace = alt_colorspace
+        self.teacher_ae_dims = teacher_ae_dims
+        self.rng = np.random.RandomState(seed)
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self.num_joints = dataset.num_joints
+
+    # ------------------------------------------------------------------
+    def _host_batch(self, indices):
+        ch, cw = self.canvas_hw
+        b = len(indices)
+        j = self.num_joints
+        imgs = np.zeros((b, ch, cw, 3), np.float32)
+        masks = np.zeros((b, ch, cw), np.float32)
+        segms = np.zeros((b, ch, cw), np.float32)
+        t_hms = np.zeros((b, ch, cw, j), np.float32)
+        t_ae = np.zeros((b, ch, cw, self.teacher_ae_dims), np.float32)
+        joints = np.zeros((b, MAX_PEOPLE, j, 3), np.float32)
+        mats = np.zeros((b, 2, 3), np.float32)
+        img_ids = np.zeros((b,), np.int64)
+
+        for k, idx in enumerate(indices):
+            s = self.ds[idx]
+            h, w = s["img"].shape[:2]
+            h, w = min(h, ch), min(w, cw)
+            imgs[k, :h, :w] = s["img"][:h, :w]
+            masks[k, :h, :w] = s["mask"][:h, :w]
+            segms[k, :h, :w] = s["segm_mask"][:h, :w]
+            if s["teacher_hms"].size:
+                t_hms[k, :h, :w] = s["teacher_hms"][:h, :w]
+                d = min(self.teacher_ae_dims, s["teacher_ae"].shape[-1])
+                t_ae[k, :h, :w, :d] = s["teacher_ae"][:h, :w, :d]
+            p = min(MAX_PEOPLE, s["joints"].shape[0])
+            joints[k, :p] = s["joints"][:p]
+            mats[k] = sample_affine_matrices(self.rng, 1, (h, w),
+                                             self.augment)[0]
+            img_ids[k] = s["img_id"]
+        return imgs, masks, segms, t_hms, t_ae, joints, mats, img_ids
+
+    def _epoch_indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        n_full = len(idx) // self.batch_size
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(n_full)]
+
+    # ------------------------------------------------------------------
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._epoch_indices()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                for inds in batches:
+                    q.put(self._host_batch(inds))
+                q.put(None)
+            except BaseException as e:  # re-raised on the consumer side
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            imgs, masks, segms, t_hms, t_ae, joints, mats, img_ids = item
+            batch = _augment_batch_device(
+                jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(segms),
+                jnp.asarray(t_hms), jnp.asarray(t_ae), jnp.asarray(joints),
+                jnp.asarray(mats), self.out_hw, self.sigma,
+                self.num_joints, self.alt_colorspace)
+            batch["img_id"] = img_ids
+            yield batch
+
+    def __len__(self):
+        return len(self.ds) // self.batch_size

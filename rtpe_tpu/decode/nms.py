@@ -26,6 +26,31 @@ def nms_heatmaps(det: jax.Array, ksize: int = 5, padding: int = 2):
     return det * keep
 
 
+def _topk_by_argmax(flat: jax.Array, k: int):
+    """Exact top-k as k successive argmax+mask steps.
+
+    ``jax.lax.top_k`` lowers to a sort network whose TPU compile takes
+    minutes for H*W-sized axes; for the tiny k used here (max_people=30)
+    k argmax reductions run just as fast and compile instantly.  Tie
+    order (lowest index first) matches lax.top_k / torch.topk.
+    """
+
+    def body(carry, _):
+        cur = carry
+        idx = jnp.argmax(cur, axis=-1)  # (B, J)
+        val = jnp.take_along_axis(cur, idx[..., None], axis=-1)[..., 0]
+        cur = jnp.where(
+            jax.nn.one_hot(idx, cur.shape[-1], dtype=bool),
+            -jnp.inf, cur)
+        return cur, (val, idx)
+
+    _, (vals, inds) = jax.lax.scan(body, flat, None, length=k)
+    # scan stacks along axis 0 -> (K, B, J); move K last
+    val_k = jnp.moveaxis(vals, 0, -1)
+    ind = jnp.moveaxis(inds, 0, -1).astype(jnp.int32)
+    return val_k, ind
+
+
 @partial(jax.jit, static_argnames=("max_people", "ksize", "padding",
                                    "tag_per_joint"))
 def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
@@ -44,7 +69,7 @@ def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
     b, h, w, j = det.shape
     peaks = nms_heatmaps(det, ksize, padding)
     flat = peaks.transpose(0, 3, 1, 2).reshape(b, j, h * w)
-    val_k, ind = jax.lax.top_k(flat, max_people)  # (B, J, K)
+    val_k, ind = _topk_by_argmax(flat, max_people)  # (B, J, K)
 
     x = (ind % w).astype(jnp.int32)
     y = (ind // w).astype(jnp.int32)

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Distillation training of the AttentionStudentSteps student.
+
+TPU-native rebuild of the reference training entry point
+(``distillation.py``): same model (inplanes 80, 17 heatmaps, 0 AE dims),
+same dual attention/detection objective and SGDR hyperparameters, but
+
+* the data path is the fused device pipeline (one-matrix augmentation,
+  on-device target rendering) instead of per-channel PIL replay,
+* the train step is one jitted XLA program over a data-parallel mesh,
+* checkpoints are orbax with automatic latest-step resume (plus the
+  reference's per-submodule part snapshots per epoch),
+* metrics go to TensorBoard + JSONL.
+
+The reference's module-level UPPER_CASE globals are CLI flags with the
+same defaults (reference ``distillation.py:36-101``).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser("distillation")
+    home = os.path.expanduser("~")
+    p.add_argument("--coco_dir", default=os.path.join(home, "datasets",
+                                                      "coco"))
+    p.add_argument("--train_dataset", default="val2017",
+                   help="the reference trains on val2017-sized sets")
+    p.add_argument("--teacher_dir", default=None,
+                   help="precomputed teacher .npz dir (HRNET_VAL_DIR)")
+    p.add_argument("--model_path",
+                   default="models/pose_higher_hrnet_w48_640.pth.tar",
+                   help="teacher statedict for the frozen stem")
+    p.add_argument("--num_heatmaps", type=int, default=17)
+    p.add_argument("--ae_dims", type=int, default=0)
+    p.add_argument("--inplanes", type=int, default=80)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_epochs", type=int, default=20000)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--train_hw", type=int, nargs=2, default=[450, 450])
+    p.add_argument("--train_gt_stddev", type=float, default=7.0)
+    p.add_argument("--alpha", type=float, default=0.8)
+    p.add_argument("--snapshot_dir", default=os.path.join("models",
+                                                          "snapshots"))
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--tb_dir", default=os.path.join("tb_log", "train"))
+    p.add_argument("--minival_file", default=None,
+                   help="e.g. assets/coco_minival2017_100.txt")
+    p.add_argument("--minival_every", type=int, default=150000)
+    p.add_argument("--diagnose_every", type=int, default=500)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--no_resume", dest="resume", action="store_false")
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel size (default: all devices)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rtpe_tpu.data import CocoDistillationDataset, read_whitelist
+    from rtpe_tpu.data.pipeline import TrainPipeline
+    from rtpe_tpu.io.checkpoint import TrainCheckpointer, save_student_parts
+    from rtpe_tpu.models import AttentionStudentSteps
+    from rtpe_tpu.models.factory import load_pretrained_stem
+    from rtpe_tpu.obs import MetricWriter
+    from rtpe_tpu.parallel import make_mesh, shard_batch
+    from rtpe_tpu.train import (
+        DistillConfig,
+        DistillTrainState,
+        make_distill_train_step,
+    )
+    from rtpe_tpu.utils import ColorLogger, make_timestamp, model_summary
+
+    timestamp = make_timestamp(with_tz_output=False)
+    os.makedirs(args.log_dir, exist_ok=True)
+    os.makedirs(args.snapshot_dir, exist_ok=True)
+    log = ColorLogger(__file__, os.path.join(
+        args.log_dir, f"[distillation.py]_{timestamp}.log"), filemode="w")
+    tb = MetricWriter(os.path.join(args.tb_dir,
+                                   f"[distillation.py]_{timestamp}"))
+
+    # model -------------------------------------------------------------
+    model = AttentionStudentSteps(
+        inplanes=args.inplanes, num_heatmaps=args.num_heatmaps,
+        ae_dims=args.ae_dims, detach_att_for_det=True,
+        dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    if args.model_path and os.path.exists(args.model_path):
+        variables = load_pretrained_stem(variables, args.model_path)
+        log.info(f"loaded pretrained stem from {args.model_path}")
+    else:
+        log.warning("no teacher statedict found — stem stays random "
+                    f"({args.model_path})")
+    log.info(model_summary(variables["params"]))
+    tb.hparams(vars(args))
+
+    cfg = DistillConfig(distillation_alpha=args.alpha)
+    state = DistillTrainState.create(variables, cfg)
+
+    # checkpoint/resume -------------------------------------------------
+    ckpt = TrainCheckpointer(os.path.join(args.snapshot_dir, "orbax"))
+    if args.resume:
+        state, step = ckpt.restore(state)
+        if step is not None:
+            log.info(f"resumed from checkpoint step {step}")
+    ckpt.install_sigterm_save(lambda: state)
+
+    # data --------------------------------------------------------------
+    whitelist = (read_whitelist(args.minival_file)
+                 if args.minival_file else None)
+    train_ds = CocoDistillationDataset(
+        args.coco_dir, args.train_dataset, args.teacher_dir,
+        remove_images_without_annotations=True,
+        gt_stddevs_pix=[args.train_gt_stddev])
+    pipeline = TrainPipeline(train_ds, batch_size=args.batch_size,
+                             out_hw=tuple(args.train_hw),
+                             sigma=args.train_gt_stddev)
+    log.info(f"train dataset: {len(train_ds)} images, "
+             f"{len(pipeline)} steps/epoch")
+
+    # mesh + step -------------------------------------------------------
+    mesh = make_mesh(n_data=args.mesh_data)
+    log.info(f"mesh: {mesh}")
+    step_fn = make_distill_train_step(model, cfg)
+
+    with mesh:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        global_step = int(np.asarray(state.step))
+        t_start = time.time()
+        for epoch in range(args.num_epochs):
+            for batch in pipeline:
+                batch.pop("img_id")
+                batch = shard_batch(
+                    {k: np.asarray(v) for k, v in batch.items()}, mesh)
+                batch["mask"] = batch["mask"]
+                state, metrics = step_fn(state, batch)
+                global_step += 1
+                if global_step % 10 == 0 or global_step < 5:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    rate = (args.batch_size * global_step
+                            / (time.time() - t_start))
+                    log.info(f"epoch {epoch} step {global_step}: {m} "
+                             f"({rate:.1f} img/s)")
+                    tb.scalars(m, global_step)
+                if (args.diagnose_every
+                        and global_step % args.diagnose_every == 0):
+                    tb.flush()
+                if args.max_steps and global_step >= args.max_steps:
+                    break
+            # per-epoch snapshots (reference distillation.py:422-431)
+            ckpt.save(global_step, jax.device_get(state))
+            prefix = f"{timestamp}_epoch{epoch}_step{global_step}"
+            parts = save_student_parts(
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                args.snapshot_dir, prefix)
+            log.info(f"saved snapshot parts to {args.snapshot_dir} "
+                     f"({len(parts)} files)")
+            if args.max_steps and global_step >= args.max_steps:
+                break
+    log.info("PROGRAM FINISHED")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Teacher COCO-AP validation.
+
+Equivalent of the reference ``validate_hhrnet.py``: run the W48 teacher
+over COCO val2017, bilinearly upsample the refined heatmaps and the
+coarse-output AEs to image size, decode with the HeatmapParser
+(adjust+refine), save periodic skeleton overlays, and report official
+keypoint AP (reference :61-119).  The reference's hardcoded globals are
+exposed as CLI flags with the same defaults.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser("validate_hhrnet")
+    parser.add_argument("--coco_dir", type=str,
+                        default=os.path.join(os.path.expanduser("~"),
+                                             "datasets", "coco"))
+    parser.add_argument("--dataset", type=str, default="val2017")
+    parser.add_argument("-m", "--model_path", type=str,
+                        default="models/pose_higher_hrnet_w48_640.pth.tar")
+    parser.add_argument("--input_size", type=int, default=640)
+    parser.add_argument("--whitelist", type=str, default=None,
+                        help="minival id-list file")
+    parser.add_argument("--save_every", type=int, default=100)
+    parser.add_argument("--save_dir", type=str, default="/tmp")
+    parser.add_argument("--max_images", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.data import CocoDistillationDataset, read_whitelist
+    from rtpe_tpu.data.preprocess import (
+        get_final_preds,
+        normalize_image,
+        resize_align_multi_scale,
+    )
+    from rtpe_tpu.decode import HeatmapParser
+    from rtpe_tpu.models.factory import get_hrnet_w48_teacher
+    from rtpe_tpu.obs.vis import save_valid_image
+    from rtpe_tpu.ops.resize import resize_bilinear
+    from rtpe_tpu.utils import ColorLogger
+
+    log = ColorLogger(os.path.basename(__file__))
+
+    whitelist = read_whitelist(args.whitelist) if args.whitelist else None
+    ds = CocoDistillationDataset(args.coco_dir, args.dataset,
+                                 remove_images_without_annotations=False,
+                                 whitelist_ids=whitelist)
+    model, variables = get_hrnet_w48_teacher(args.model_path)
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    # parser params: reference validate_hhrnet.py:78
+    hm_parser = HeatmapParser(num_joints=17, max_num_people=30,
+                              detection_threshold=0.1, tag_threshold=1.0,
+                              use_detection_val=True, ignore_too_much=False,
+                              tag_per_joint=True, nms_ksize=5, nms_padding=2)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    n = len(ds) if args.max_images is None else min(len(ds),
+                                                    args.max_images)
+    all_preds, all_scores = [], []
+    for i in range(n):
+        sample = ds[i]
+        img = sample["img"] * 255.0
+        h, w = img.shape[:2]
+        resized, center, scale = resize_align_multi_scale(
+            img, args.input_size, 1, 1)
+        x = jnp.asarray(normalize_image(resized / 255.0)[None])
+        coarse, refined = fwd(x)
+        # upsample heatmaps (refined) and AEs (coarse) to image size
+        hms = resize_bilinear(refined.astype(jnp.float32), (h, w),
+                              align_corners=True)
+        aes = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
+                              (h, w), align_corners=True)
+        grouped, scores = hm_parser.parse(hms, aes, adjust=True,
+                                          refine=True)
+        final = [p for p in grouped[0] if p.size > 0]
+        all_preds.append(final)
+        all_scores.append(scores)
+        log.info(f"[{i}/{n}] {sample['img_id']}: {len(final)} people")
+        if args.save_every and i % args.save_every == 0:
+            save_valid_image(
+                img.astype(np.uint8), final,
+                os.path.join(args.save_dir, f"validate_hhrnet_{i}.jpg"))
+
+    ds.ids = ds.ids[:n]
+    stats = ds.evaluate(all_preds, all_scores)
+    for k, v in stats.items():
+        log.info(f"{k}={v}")
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()
