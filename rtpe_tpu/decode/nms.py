@@ -52,11 +52,12 @@ def _topk_by_argmax(flat: jax.Array, k: int):
 
 
 @partial(jax.jit, static_argnames=("max_people", "ksize", "padding",
-                                   "tag_per_joint"))
+                                   "tag_per_joint", "use_pallas"))
 def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
           ksize: int = 5, padding: int = 2,
-          tag_per_joint: bool = True) -> Tuple[jax.Array, jax.Array,
-                                               jax.Array]:
+          tag_per_joint: bool = True,
+          use_pallas: bool = False) -> Tuple[jax.Array, jax.Array,
+                                             jax.Array]:
     """NMS + per-joint top-k peak extraction, fully on device.
 
     :param det: (B, H, W, J) heatmaps.
@@ -67,12 +68,16 @@ def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
       (B, J, K, 2) [x, y int32], (B, J, K, D).
     """
     b, h, w, j = det.shape
-    peaks = nms_heatmaps(det, ksize, padding)
-    flat = peaks.transpose(0, 3, 1, 2).reshape(b, j, h * w)
-    val_k, ind = _topk_by_argmax(flat, max_people)  # (B, J, K)
-
-    x = (ind % w).astype(jnp.int32)
-    y = (ind // w).astype(jnp.int32)
+    if use_pallas:
+        from ..ops.pallas_decode import nms_topk_pallas
+        val_k, x, y = nms_topk_pallas(det, max_people, ksize)
+        ind = y * w + x
+    else:
+        peaks = nms_heatmaps(det, ksize, padding)
+        flat = peaks.transpose(0, 3, 1, 2).reshape(b, j, h * w)
+        val_k, ind = _topk_by_argmax(flat, max_people)  # (B, J, K)
+        x = (ind % w).astype(jnp.int32)
+        y = (ind // w).astype(jnp.int32)
     loc_k = jnp.stack([x, y], axis=-1)
 
     if tag_per_joint:

@@ -115,30 +115,48 @@ class HeatmapParser:
         self.nms_padding = nms_padding
 
     def top_k(self, det, tag):
-        """Device-side NMS + top-k.  det (B, H, W, J); tag (B, H, W, T)."""
+        """Device-side NMS + top-k.  det (B, H, W, J); tag (B, H, W, T).
+        Uses the fused Pallas kernel on TPU backends."""
+        import jax
+        use_pallas = jax.devices()[0].platform == "tpu"
         val_k, loc_k, tag_k = top_k(
             det, tag, self.params.max_num_people,
-            self.nms_ksize, self.nms_padding, self.tag_per_joint)
-        return (np.asarray(val_k, dtype=np.float32),
-                np.asarray(loc_k, dtype=np.int32),
-                np.asarray(tag_k, dtype=np.float32))
+            self.nms_ksize, self.nms_padding, self.tag_per_joint,
+            use_pallas=use_pallas)
+        # one batched transfer: each host pull over the interconnect has
+        # tens of ms of fixed latency
+        import jax
+        val_k, loc_k, tag_k = jax.device_get((val_k, loc_k, tag_k))
+        return (val_k.astype(np.float32), loc_k.astype(np.int32),
+                tag_k.astype(np.float32))
 
     def match(self, val_k, loc_k, tag_k) -> List[np.ndarray]:
         return [match_by_tag(t, l, v, self.params)
                 for t, l, v in zip(tag_k, loc_k, val_k)]
 
-    def parse(self, det, tag, adjust: bool = True,
-              refine: bool = True) -> Tuple[List[np.ndarray], List[float]]:
+    def parse(self, det, tag, adjust: bool = True, refine: bool = True,
+              on_device=None) -> Tuple[List[np.ndarray], List[float]]:
         """Full decode of a batch-1 NHWC heatmap/tag pair.
 
+        :param on_device: when both adjust and refine are requested, run
+          them as one jitted program on device (only the tiny grouped
+          people tensor crosses the host boundary).  The host path is
+          the reference-exact fallback and the parity oracle.  Default
+          (None) picks by heatmap size: beyond ~32 MB the device path
+          avoids the dominant full-tensor device->host pull.
         :returns: ``([people], scores)``: people (P, J, 3+D) float32,
           scores list of per-person mean joint values (pre-refine, like
           the reference, ``group.py:272``).
         """
-        det = np.asarray(det, dtype=np.float32) if not hasattr(
-            det, "device") else det
         val_k, loc_k, tag_k = self.top_k(det, tag)
         ans = self.match(val_k, loc_k, tag_k)
+
+        if on_device is None:
+            nbytes = (int(np.prod(det.shape)) + int(np.prod(tag.shape))) * 4
+            on_device = nbytes > 32 * 1024 * 1024
+
+        if on_device and adjust and refine:
+            return self._finish_on_device(det, tag, ans[0])
 
         det_np = np.asarray(det, dtype=np.float32)
         tag_np = np.asarray(tag, dtype=np.float32)
@@ -151,16 +169,47 @@ class HeatmapParser:
 
         if refine:
             people = ans[0]
-            h, w, j = det_np[0].shape
-            if self.tag_per_joint:
-                d = tag_np.shape[-1] // j
-                tag_img = tag_np[0].reshape(h, w, j, d)
-            else:
-                d = tag_np.shape[-1]
-                tag_img = np.broadcast_to(tag_np[0][:, :, None, :],
-                                          (h, w, j, d))
+            tag_img = self._tag_image(tag_np[0], det_np[0].shape[-1])
             for i in range(len(people)):
                 people[i] = refine_person(det_np[0], tag_img, people[i])
             ans = [people]
 
         return ans, scores
+
+    def _tag_image(self, tag_hwt: np.ndarray, j: int) -> np.ndarray:
+        h, w = tag_hwt.shape[:2]
+        if self.tag_per_joint:
+            d = tag_hwt.shape[-1] // j
+            return tag_hwt.reshape(h, w, j, d)
+        d = tag_hwt.shape[-1]
+        return np.broadcast_to(tag_hwt[:, :, None, :], (h, w, j, d))
+
+    def _finish_on_device(self, det, tag, people: List[np.ndarray]):
+        import jax.numpy as jnp
+
+        from .refine_device import adjust_refine_device
+
+        if len(people) == 0:
+            return [np.zeros((0, self.params.num_joints, 4),
+                             np.float32)][:1], []
+        j = self.params.num_joints
+        d = people[0].shape[-1] - 3
+        # pad the people dim to a small set of buckets to bound recompiles
+        p = len(people)
+        p_pad = ((p + 29) // 30) * 30
+        padded = np.zeros((p_pad, j, 3 + d), np.float32)
+        padded[:p] = np.stack(people)
+
+        det0 = jnp.asarray(det)[0]
+        tag0 = jnp.asarray(tag)[0]
+        h, w = det0.shape[:2]
+        if self.tag_per_joint:
+            tag_img = tag0.reshape(h, w, j, d)
+        else:
+            tag_img = jnp.broadcast_to(tag0[:, :, None, :], (h, w, j, d))
+        import jax
+        out, scores = jax.device_get(adjust_refine_device(
+            det0, tag_img, jnp.asarray(padded)))
+        out = out[:p]
+        scores = [float(s) for s in scores[:p]]
+        return [list(out)], scores

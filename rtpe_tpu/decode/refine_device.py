@@ -1,0 +1,99 @@
+"""Device-side quarter-pixel adjust + tag-guided refine.
+
+The reference does both steps as python loops over full-resolution
+heatmaps on the host (``group.py:181-264``), which forces a
+device->host transfer of the complete det/tag tensors (tens of MB at
+eval resolution) before decoding can finish.  Here both steps run as
+one jitted program over a fixed-size people tensor; only the grouped
+people (30 × J × (3+D) floats) cross the host boundary.
+
+Semantics are kept bit-compatible with the host implementations in
+``parser.py`` (which are themselves reference-exact); the parity test
+asserts equality.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=())
+def adjust_refine_device(det: jax.Array, tag: jax.Array,
+                         people: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """:param det: (H, W, J) heatmaps (fp32).
+    :param tag: (H, W, J, D) tag maps.
+    :param people: (P, J, 3 + D) grouped joints, padded with zero rows
+      (a person with no joint having score > 0 is inert).
+    :returns: (adjusted+refined people (P, J, 3+D), per-person scores
+      computed after adjust but before refine — reference parse order,
+      ``group.py:266-287``).
+    """
+    det = det.astype(jnp.float32)
+    tag = tag.astype(jnp.float32)
+    h, w, j = det.shape
+    d = tag.shape[-1]
+
+    def adjust_person(person):
+        xs = person[:, 0]
+        ys = person[:, 1]
+        vis = person[:, 2] > 0
+        xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
+        jj = jnp.arange(j)
+
+        def read(yy, xx):
+            return det[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1), jj]
+
+        right = read(yi, jnp.minimum(xi + 1, w - 1))
+        left = read(yi, jnp.maximum(xi - 1, 0))
+        down = read(jnp.minimum(yi + 1, h - 1), xi)
+        up = read(jnp.maximum(yi - 1, 0), xi)
+        new_x = jnp.where(right > left, xs + 0.25, xs - 0.25) + 0.5
+        new_y = jnp.where(down > up, ys + 0.25, ys - 0.25) + 0.5
+        person = person.at[:, 0].set(jnp.where(vis, new_x, person[:, 0]))
+        person = person.at[:, 1].set(jnp.where(vis, new_y, person[:, 1]))
+        return person
+
+    people = jax.vmap(adjust_person)(people)
+    scores = jnp.mean(people[:, :, 2], axis=1)
+
+    # ------------------------------------------------------------------
+    def refine_person(person):
+        vis = person[:, 2] > 0
+        n_vis = jnp.sum(vis.astype(jnp.int32))
+        xi = jnp.clip(person[:, 0].astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(person[:, 1].astype(jnp.int32), 0, h - 1)
+        jj = jnp.arange(j)
+        joint_tags = tag[yi, xi, jj]  # (J, D)
+        prev_tag = (jnp.sum(jnp.where(vis[:, None], joint_tags, 0.0),
+                            axis=0)
+                    / jnp.maximum(n_vis, 1).astype(jnp.float32))
+
+        # tag-distance penalty per joint plane
+        tt = jnp.sqrt(jnp.sum(
+            (tag - prev_tag[None, None, None, :]) ** 2, axis=-1))
+        tmp2 = det - jnp.round(tt)  # (H, W, J)
+        flat = tmp2.transpose(2, 0, 1).reshape(j, h * w)
+        idx = jnp.argmax(flat, axis=-1)
+        ry = idx // w
+        rx = idx % w
+        val = det[ry, rx, jj]
+        # quarter offsets around the argmax
+        right = det[ry, jnp.minimum(rx + 1, w - 1), jj]
+        left = det[ry, jnp.maximum(rx - 1, 0), jj]
+        down = det[jnp.minimum(ry + 1, h - 1), rx, jj]
+        up = det[jnp.maximum(ry - 1, 0), rx, jj]
+        fx = rx + 0.5 + jnp.where(right > left, 0.25, -0.25)
+        fy = ry + 0.5 + jnp.where(down > up, 0.25, -0.25)
+
+        fill = (val > 0) & (person[:, 2] == 0) & (n_vis > 0)
+        person = person.at[:, 0].set(jnp.where(fill, fx, person[:, 0]))
+        person = person.at[:, 1].set(jnp.where(fill, fy, person[:, 1]))
+        person = person.at[:, 2].set(jnp.where(fill, val, person[:, 2]))
+        return person
+
+    # sequential over people bounds the (J, H, W) temporaries
+    people = jax.lax.map(refine_person, people)
+    return people, scores

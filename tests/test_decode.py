@@ -113,14 +113,36 @@ def test_parse_matches_reference(tag_per_joint, seed):
     ours = HeatmapParser(**kw)
     j_det = jnp.asarray(det[None])
     j_tag = jnp.asarray(tag[None])
-    our_ans, our_scores = ours.parse(j_det, j_tag, adjust=True, refine=True)
+    for on_device in (False, True):
+        our_ans, our_scores = ours.parse(j_det, j_tag, adjust=True,
+                                         refine=True, on_device=on_device)
+        ref_people = ref_ans[0]
+        our_people = our_ans[0]
+        assert len(ref_people) == len(our_people), f"device={on_device}"
+        np.testing.assert_allclose(our_scores, ref_scores, rtol=1e-5,
+                                   atol=1e-6)
+        for rp, op in zip(ref_people, our_people):
+            np.testing.assert_allclose(op, rp, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"device={on_device}")
 
-    ref_people = ref_ans[0]
-    our_people = our_ans[0]
-    assert len(ref_people) == len(our_people)
-    np.testing.assert_allclose(our_scores, ref_scores, rtol=1e-5, atol=1e-6)
-    for rp, op in zip(ref_people, our_people):
-        np.testing.assert_allclose(op, rp, rtol=1e-4, atol=1e-4)
+
+def test_pallas_nms_topk_matches_jnp_interpret():
+    """The fused Pallas kernel (interpret mode on CPU) must match the
+    XLA top_k path exactly: values, coordinates, tie order."""
+    from rtpe_tpu.decode.nms import top_k
+    from rtpe_tpu.ops.pallas_decode import nms_topk_pallas
+
+    det, tag = _make_scene(seed=5, h=48, w=64)
+    j_det = jnp.asarray(det[None])
+    val, x, y = nms_topk_pallas(j_det, max_people=30, ksize=5,
+                                interpret=True)
+    v2, loc2, _ = top_k(j_det, jnp.asarray(tag[None]), 30, 5, 2, True)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(v2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(x),
+                                  np.asarray(loc2)[..., 0])
+    np.testing.assert_array_equal(np.asarray(y),
+                                  np.asarray(loc2)[..., 1])
 
 
 def test_munkres_assign_rectangular_semantics():
