@@ -1,0 +1,111 @@
+"""Test-time augmentation: flip test + multi-scale aggregation.
+
+The reference's full-quality validation (the 0.698 AP pipeline) uses
+flip-TTA and multi-scale aggregation via the external HigherHRNet repo
+(``legacy/valid_ae1dim.py:166-191``, SURVEY.md §6).  TPU-native design:
+the flipped image is batched with the original (one forward of batch 2
+instead of two sequential passes), heatmaps are averaged after
+``flip_back``, and flip tags are *stacked* along the tag dimension as in
+HigherHRNet (so grouping sees D=2 tag vectors); scales run as separate
+compiled shapes and aggregate by resize-average.
+"""
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.coco import COCO_FLIP_PAIRS
+from ..ops.resize import resize_bilinear
+
+
+def flip_back(hms: jax.Array,
+              flip_pairs: Sequence[Tuple[int, int]] = COCO_FLIP_PAIRS
+              ) -> jax.Array:
+    """Un-flip heatmaps of a horizontally flipped input: mirror W and
+    swap left/right joint channels (reference ``transforms.py:16-30``;
+    NHWC here)."""
+    hms = hms[:, :, ::-1, :]
+    j = hms.shape[-1]
+    perm = list(range(j))
+    for a, b in flip_pairs:
+        if a < j and b < j:
+            perm[a], perm[b] = perm[b], perm[a]
+    return hms[..., jnp.asarray(perm)]
+
+
+def flip_joints(joints: np.ndarray, width: float,
+                flip_pairs: Sequence[Tuple[int, int]] = COCO_FLIP_PAIRS
+                ) -> np.ndarray:
+    """Mirror (P, J, >=3) keypoints horizontally with L/R channel swap
+    (reference ``transforms.py:33-47``)."""
+    joints = joints.copy()
+    joints[..., 0] = width - joints[..., 0] - 1
+    for a, b in flip_pairs:
+        joints[:, [a, b]] = joints[:, [b, a]]
+    return joints
+
+
+def tta_forward(apply_fn: Callable, img: jax.Array,
+                num_joints: int = 17,
+                with_flip: bool = True,
+                scales: Sequence[float] = (1.0,),
+                base_hw: Optional[Tuple[int, int]] = None
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Aggregate heatmaps/tags over flip and scales.
+
+    :param apply_fn: ``f(batch_nhwc) -> (coarse, refined)`` with coarse
+      carrying [heatmaps | tags] channels and refined carrying heatmaps
+      (the teacher head contract).
+    :param img: (1, H, W, 3) preprocessed input at scale 1.
+    :returns: ``(heatmaps (1, H', W', J), tags (1, H', W', J*D))`` at
+      ``base_hw`` (default: scale-1 refined resolution); D=2 with flip.
+    """
+    h, w = img.shape[1:3]
+    hm_acc = None
+    tag_list: List[jax.Array] = []
+    n_contrib = 0
+
+    for scale in scales:
+        if scale == 1.0:
+            x = img
+        else:
+            sh = int(round(h * scale / 64)) * 64
+            sw = int(round(w * scale / 64)) * 64
+            x = resize_bilinear(img, (sh, sw), align_corners=False)
+        batch = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0) \
+            if with_flip else x
+        coarse, refined = apply_fn(batch)
+        hms = refined[..., :num_joints].astype(jnp.float32)
+        tags = coarse[..., num_joints:].astype(jnp.float32)
+
+        if base_hw is None:
+            base_hw = (int(refined.shape[1]), int(refined.shape[2]))
+
+        hms = resize_bilinear(hms, base_hw, align_corners=True)
+        if with_flip:
+            hm = hms[0:1] + flip_back(hms[1:2])
+            n_contrib += 2
+        else:
+            hm = hms[0:1]
+            n_contrib += 1
+        hm_acc = hm if hm_acc is None else hm_acc + hm
+
+        if scale == 1.0:  # tags only from the primary scale (HHRNet)
+            tags_up = resize_bilinear(tags, base_hw, align_corners=True)
+            tag_list.append(tags_up[0:1])
+            if with_flip:
+                tag_list.append(flip_back(tags_up[1:2]))
+
+    hm_avg = hm_acc / float(n_contrib)
+    # stack flip tags along the tag dim: (1, H', W', J) x2 -> per-joint
+    # D=2 vectors in the parser's (B, H, W, J*D) layout via interleave
+    if len(tag_list) == 1:
+        tags_out = tag_list[0]
+    else:
+        j = tag_list[0].shape[-1]
+        stacked = jnp.stack(tag_list, axis=-1)  # (1, H', W', J, D)
+        tags_out = stacked.reshape(*stacked.shape[:3], j * len(tag_list))
+    return hm_avg, tags_out

@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--save_every", type=int, default=100)
     parser.add_argument("--save_dir", type=str, default="/tmp")
     parser.add_argument("--max_images", type=int, default=None)
+    parser.add_argument("--flip", action="store_true",
+                        help="flip test-time augmentation (the 0.698-AP "
+                             "pipeline uses it; legacy/valid_ae1dim.py)")
+    parser.add_argument("--scales", type=str, default="1",
+                        help="comma-separated multi-scale TTA factors")
     args = parser.parse_args()
 
     import jax
@@ -64,6 +69,11 @@ def main():
                               use_detection_val=True, ignore_too_much=False,
                               tag_per_joint=True, nms_ksize=5, nms_padding=2)
 
+    scales = tuple(float(s) for s in args.scales.split(","))
+    use_tta = args.flip or scales != (1.0,)
+    if use_tta:
+        from rtpe_tpu.eval.tta import tta_forward
+
     os.makedirs(args.save_dir, exist_ok=True)
     n = len(ds) if args.max_images is None else min(len(ds),
                                                     args.max_images)
@@ -75,12 +85,20 @@ def main():
         resized, center, scale = resize_align_multi_scale(
             img, args.input_size, 1, 1)
         x = jnp.asarray(normalize_image(resized / 255.0)[None])
-        coarse, refined = fwd(x)
-        # upsample heatmaps (refined) and AEs (coarse) to image size
-        hms = resize_bilinear(refined.astype(jnp.float32), (h, w),
-                              align_corners=True)
-        aes = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
-                              (h, w), align_corners=True)
+        if use_tta:
+            hm_base, tag_base = tta_forward(
+                fwd, x, num_joints=17, with_flip=args.flip,
+                scales=scales)
+            hms = resize_bilinear(hm_base, (h, w), align_corners=True)
+            aes = resize_bilinear(tag_base, (h, w), align_corners=True)
+            coarse = refined = None
+        else:
+            coarse, refined = fwd(x)
+            # upsample heatmaps (refined) and AEs (coarse) to image size
+            hms = resize_bilinear(refined.astype(jnp.float32), (h, w),
+                                  align_corners=True)
+            aes = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
+                                  (h, w), align_corners=True)
         grouped, scores = hm_parser.parse(hms, aes, adjust=True,
                                           refine=True)
         final = [p for p in grouped[0] if p.size > 0]

@@ -1,0 +1,188 @@
+"""Tests for TTA, RSB, loss scaling, and spatial halo convolution."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import add_reference_to_path, has_reference
+
+
+# -----------------------------------------------------------------------------
+# TTA
+# -----------------------------------------------------------------------------
+def test_flip_back_matches_reference():
+    add_reference_to_path()
+    from rtpe.third_party.transforms import flip_back as ref_flip_back
+
+    from rtpe_tpu.data.coco import COCO_FLIP_PAIRS
+    from rtpe_tpu.eval.tta import flip_back
+
+    x = np.random.RandomState(0).rand(2, 24, 32, 17).astype(np.float32)
+    # reference takes NCHW; it mutates its input through views, so pass
+    # a copy
+    want = ref_flip_back(np.ascontiguousarray(x.transpose(0, 3, 1, 2)),
+                         [list(p) for p in COCO_FLIP_PAIRS])
+    got = np.asarray(flip_back(jnp.asarray(x))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_tta_forward_flip_consistency():
+    """For a horizontally symmetric model (identity heads), flip TTA
+    must reproduce the single forward."""
+    from rtpe_tpu.eval.tta import tta_forward
+
+    rng = np.random.RandomState(1)
+    hms = rng.rand(1, 16, 16, 17).astype(np.float32)
+    # symmetric fake detector: returns fixed heatmaps transformed the
+    # same way its input was (here: we fake it by returning input-
+    # derived maps so flip consistency holds structurally)
+    j = 17
+
+    def apply_fn(batch):
+        b = batch.shape[0]
+        coarse = jnp.concatenate(
+            [batch[..., :1].repeat(j, axis=-1),
+             jnp.zeros((b, batch.shape[1], batch.shape[2], j))], axis=-1)
+        refined = batch[..., :1].repeat(j, axis=-1)
+        return coarse, refined
+
+    img = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    hm1, tags1 = tta_forward(apply_fn, img, num_joints=j, with_flip=False)
+    hm2, tags2 = tta_forward(apply_fn, img, num_joints=j, with_flip=True)
+    assert hm1.shape == hm2.shape
+    assert tags2.shape[-1] == 2 * tags1.shape[-1]  # D doubles with flip
+    # flip-averaged heatmaps of a non-symmetric input differ, but both
+    # stay in the convex hull of inputs
+    assert float(jnp.max(hm2)) <= float(jnp.max(img[..., 0])) + 1e-5
+
+
+# -----------------------------------------------------------------------------
+# RSB
+# -----------------------------------------------------------------------------
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+def test_rsb_matches_reference():
+    add_reference_to_path()
+    from rtpe.third_party.RSB import ResidualStepBlock as TorchRSB
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from rtpe_tpu.models.rsb import ResidualStepBlock
+
+    torch.manual_seed(0)
+    tm = TorchRSB(64, 64)
+    tm.eval()
+    g = torch.Generator().manual_seed(1)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3, generator=g)
+            m.running_var.uniform_(0.5, 1.5, generator=g)
+
+    fm = ResidualStepBlock(planes=64, dtype=jnp.float32)
+    x = np.random.RandomState(2).rand(1, 3, 16, 16).astype(np.float32)
+    x_nhwc = jnp.asarray(np.zeros((1, 16, 16, 64), np.float32))
+    x64 = np.random.RandomState(2).rand(1, 64, 16, 16).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0),
+                        jnp.asarray(x64.transpose(0, 2, 3, 1)))
+
+    # map torch statedict -> flax names
+    name_map = {"conv_bn_relu1": "expand", "conv_bn_relu3": "project"}
+    for i in range(1, 5):
+        for d in range(1, i + 1):
+            name_map[f"conv_bn_relu2_{i}_{d}"] = f"b{i}_{d}"
+    flat = dict(flatten_dict(variables))
+    for tname, fname in name_map.items():
+        sd = {k: v.detach().numpy()
+              for k, v in tm.state_dict().items() if k.startswith(tname)}
+        flat[("params", fname, "conv", "kernel")] = np.transpose(
+            sd[f"{tname}.conv.weight"], (2, 3, 1, 0))
+        flat[("params", fname, "conv", "bias")] = sd[f"{tname}.conv.bias"]
+        flat[("params", fname, "bn", "scale")] = sd[f"{tname}.bn.weight"]
+        flat[("params", fname, "bn", "bias")] = sd[f"{tname}.bn.bias"]
+        flat[("batch_stats", fname, "bn", "mean")] = \
+            sd[f"{tname}.bn.running_mean"]
+        flat[("batch_stats", fname, "bn", "var")] = \
+            sd[f"{tname}.bn.running_var"]
+    variables = unflatten_dict(flat)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x64)).numpy()
+    got = np.asarray(fm.apply(variables,
+                              jnp.asarray(x64.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+# -----------------------------------------------------------------------------
+# Loss scaling
+# -----------------------------------------------------------------------------
+def test_dynamic_loss_scaler_dynamics():
+    from rtpe_tpu.train.loss_scaling import (
+        init_dynamic_scaler,
+        scaled_grads_or_skip,
+    )
+
+    state = init_dynamic_scaler(init_scale=16.0)
+    good = {"w": jnp.ones((3,)) * 32.0}
+    bad = {"w": jnp.array([1.0, jnp.inf, 0.0])}
+
+    g, state, overflow = scaled_grads_or_skip(good, state)
+    assert not bool(overflow)
+    np.testing.assert_allclose(np.asarray(g["w"]), 2.0)  # 32/16
+
+    g, state, overflow = scaled_grads_or_skip(bad, state)
+    assert bool(overflow)
+    np.testing.assert_allclose(np.asarray(g["w"]), 0.0)  # skip step
+    assert float(state.scale) == 8.0  # halved
+
+    # growth after scale_window clean steps
+    from rtpe_tpu.train.loss_scaling import update_scaler
+    for _ in range(1000):
+        state = update_scaler(state, jnp.bool_(False))
+    assert float(state.scale) == 16.0
+
+
+# -----------------------------------------------------------------------------
+# Spatial halo conv
+# -----------------------------------------------------------------------------
+def test_halo_conv_matches_dense():
+    from jax.sharding import Mesh
+
+    from rtpe_tpu.parallel.spatial import halo_conv, shard_spatial
+
+    devices = np.array(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 64, 32, 8).astype(np.float32)
+    k = rng.rand(3, 3, 8, 16).astype(np.float32)
+
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    xs = shard_spatial(jnp.asarray(x), mesh, "model")
+    got = halo_conv(xs, jnp.asarray(k), mesh, "model")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_halo_conv_5x5_and_stride():
+    from jax.sharding import Mesh
+
+    from rtpe_tpu.parallel.spatial import halo_conv, shard_spatial
+
+    devices = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 32, 16, 4).astype(np.float32)
+    k = rng.rand(5, 5, 4, 4).astype(np.float32)
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1),
+        ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xs = shard_spatial(jnp.asarray(x), mesh, "model")
+    got = halo_conv(xs, jnp.asarray(k), mesh, "model")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
