@@ -14,4 +14,7 @@ Replaces the reference's CPU decode stack
 
 from .nms import nms_heatmaps, top_k  # noqa: F401
 from .group import match_by_tag, munkres_assign  # noqa: F401
+from .group_jit import match_by_tag_jit  # noqa: F401
+from .hungarian_jit import hungarian  # noqa: F401
+from .fused import decode_full  # noqa: F401
 from .parser import HeatmapParser  # noqa: F401

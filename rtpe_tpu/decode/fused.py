@@ -1,0 +1,66 @@
+"""Single-dispatch decode: NMS -> top-k -> grouping -> adjust -> refine
+as ONE jitted device program.
+
+This is the end state the reference's CPU decode stack maps to on TPU
+(SURVEY.md §7 M3): heatmaps never leave the device; the host receives
+only the final (p_max, J, 3+D) people table, its length, and the
+scores — one dispatch, one transfer.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .group_jit import match_by_tag_jit
+from .nms import top_k
+from .refine_device import adjust_refine_device
+
+
+@partial(jax.jit, static_argnames=(
+    "max_num_people", "detection_threshold", "tag_threshold",
+    "use_detection_val", "ignore_too_much", "tag_per_joint",
+    "nms_ksize", "nms_padding", "p_max", "use_pallas"))
+def decode_full(det: jax.Array, tag: jax.Array,
+                max_num_people: int = 30,
+                detection_threshold: float = 0.1,
+                tag_threshold: float = 1.0,
+                use_detection_val: bool = True,
+                ignore_too_much: bool = False,
+                tag_per_joint: bool = True,
+                nms_ksize: int = 5, nms_padding: int = 2,
+                p_max: int = 90,
+                use_pallas: bool = False
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:param det: (1, H, W, J); :param tag: (1, H, W, J*D) or (1,H,W,D).
+    :returns: (people (p_max, J, 3+D), n_people int32, scores (p_max,)).
+    """
+    _, h, w, j = det.shape
+    val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
+                                nms_padding, tag_per_joint,
+                                use_pallas=use_pallas)
+    people, n_people = match_by_tag_jit(
+        tag_k[0], loc_k[0], val_k[0],
+        max_num_people=max_num_people,
+        detection_threshold=detection_threshold,
+        tag_threshold=tag_threshold,
+        use_detection_val=use_detection_val,
+        ignore_too_much=ignore_too_much,
+        p_max=p_max)
+
+    det0 = det[0].astype(jnp.float32)
+    tag0 = tag[0].astype(jnp.float32)
+    if tag_per_joint:
+        d = tag0.shape[-1] // j
+        tag_img = tag0.reshape(h, w, j, d)
+    else:
+        d = tag0.shape[-1]
+        tag_img = jnp.broadcast_to(tag0[:, :, None, :], (h, w, j, d))
+
+    people, scores = adjust_refine_device(det0, tag_img, people)
+    # zero out slots beyond n_people (they may contain refine artifacts)
+    slot_valid = jnp.arange(p_max) < n_people
+    people = jnp.where(slot_valid[:, None, None], people, 0.0)
+    scores = jnp.where(slot_valid, scores, 0.0)
+    return people, n_people, scores

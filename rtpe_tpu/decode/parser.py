@@ -176,6 +176,29 @@ class HeatmapParser:
 
         return ans, scores
 
+    def parse_fused(self, det, tag):
+        """Whole decode as ONE device program + one host pull
+        (:mod:`rtpe_tpu.decode.fused`).  Output contract identical to
+        :meth:`parse` with adjust+refine.  Assignment tie-breaking may
+        differ from munkres on exact cost ties (same total cost)."""
+        import jax
+
+        from .fused import decode_full
+
+        use_pallas = jax.devices()[0].platform == "tpu"
+        people, n_people, scores = jax.device_get(decode_full(
+            det, tag,
+            max_num_people=self.params.max_num_people,
+            detection_threshold=self.params.detection_threshold,
+            tag_threshold=self.params.tag_threshold,
+            use_detection_val=self.params.use_detection_val,
+            ignore_too_much=self.params.ignore_too_much,
+            tag_per_joint=self.tag_per_joint,
+            nms_ksize=self.nms_ksize, nms_padding=self.nms_padding,
+            use_pallas=use_pallas))
+        n = int(n_people)
+        return [list(people[:n])], [float(s) for s in scores[:n]]
+
     def _tag_image(self, tag_hwt: np.ndarray, j: int) -> np.ndarray:
         h, w = tag_hwt.shape[:2]
         if self.tag_per_joint:

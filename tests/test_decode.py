@@ -126,6 +126,41 @@ def test_parse_matches_reference(tag_per_joint, seed):
                                        err_msg=f"device={on_device}")
 
 
+@pytest.mark.parametrize("tag_per_joint", [True, False])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_parse_fused_matches_host(tag_per_joint, seed):
+    """The single-dispatch fused decode must equal the host decode
+    (which is itself reference-exact)."""
+    det, tag = _make_scene(seed=seed, tag_per_joint=tag_per_joint)
+    kw = dict(num_joints=17, max_num_people=30, detection_threshold=0.1,
+              tag_threshold=1.0, use_detection_val=True,
+              ignore_too_much=False, tag_per_joint=tag_per_joint)
+    p = HeatmapParser(**kw)
+    j_det = jnp.asarray(det[None])
+    j_tag = jnp.asarray(tag[None])
+    host_ans, host_scores = p.parse(j_det, j_tag, on_device=False)
+    fused_ans, fused_scores = p.parse_fused(j_det, j_tag)
+    assert len(fused_ans[0]) == len(host_ans[0])
+    np.testing.assert_allclose(fused_scores, host_scores, rtol=1e-5,
+                               atol=1e-6)
+    for fp, hp in zip(fused_ans[0], host_ans[0]):
+        np.testing.assert_allclose(fp, hp, rtol=1e-4, atol=1e-4)
+
+
+def test_jit_hungarian_optimal_vs_scipy():
+    from scipy.optimize import linear_sum_assignment
+
+    from rtpe_tpu.decode.hungarian_jit import hungarian
+    rng = np.random.RandomState(11)
+    for n in (1, 2, 7, 30, 60):
+        cost = rng.rand(n, n) * rng.choice([1.0, 100.0, 1e10])
+        col = np.asarray(hungarian(cost))
+        assert sorted(col) == list(range(n))
+        r2, c2 = linear_sum_assignment(cost)
+        assert cost[np.arange(n), col].sum() == pytest.approx(
+            cost[r2, c2].sum(), rel=1e-6)
+
+
 def test_pallas_nms_topk_matches_jnp_interpret():
     """The fused Pallas kernel (interpret mode on CPU) must match the
     XLA top_k path exactly: values, coordinates, tie order."""
