@@ -63,10 +63,16 @@ def encode_rle_counts(counts: Sequence[int]) -> str:
 
 
 def rle_decode(rle: Dict) -> np.ndarray:
-    """RLE dict -> (h, w) uint8 mask.  Accepts compressed or raw counts."""
+    """RLE dict -> (h, w) uint8 mask.  Accepts compressed or raw counts.
+    Uses the C++ codec when built (``rtpe_tpu/native/rle.cpp``)."""
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):
+        from ..native import native_rle_decode
+        raw = counts.encode("ascii") if isinstance(counts, str) else counts
+        native = native_rle_decode(raw, h, w)
+        if native is not None:
+            return native
         counts = decode_rle_counts(counts)
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0

@@ -35,10 +35,64 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
             lib.lap_solve.restype = ctypes.c_int
+            for name in ("rle_decode_counts", "rle_decode_mask",
+                         "rle_encode_mask"):
+                if not hasattr(lib, name):
+                    raise OSError(f"{name} missing; rebuild")
+            lib.rle_decode_counts.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
+            lib.rle_decode_counts.restype = ctypes.c_int
+            lib.rle_decode_mask.argtypes = [
+                ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong]
+            lib.rle_decode_mask.restype = ctypes.c_int
+            lib.rle_encode_mask.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
+            lib.rle_encode_mask.restype = ctypes.c_int
             _LIB = lib
         except OSError:
             _LIB = None
     return _LIB
+
+
+def native_rle_decode(counts_str: bytes, h: int, w: int):
+    """C++ RLE decode; returns (h, w) uint8 mask or None if the native
+    library is unavailable."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    max_counts = len(counts_str) + 4
+    counts = np.zeros(max_counts, dtype=np.int64)
+    n = lib.rle_decode_counts(
+        counts_str, len(counts_str),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        max_counts)
+    if n < 0:
+        return None
+    flat = np.zeros(h * w, dtype=np.uint8)
+    lib.rle_decode_mask(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), n,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h * w)
+    return flat.reshape((w, h)).T
+
+
+def native_rle_encode_counts(mask):
+    """C++ run-length pass; returns the int counts list or None."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(np.asarray(mask, np.uint8).T.reshape(-1))
+    max_counts = flat.size + 2
+    counts = np.zeros(max_counts, dtype=np.int64)
+    n = lib.rle_encode_mask(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), flat.size,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        max_counts)
+    if n < 0:
+        return None
+    return counts[:n].tolist()
 
 
 def build(verbose: bool = False) -> bool:

@@ -39,6 +39,12 @@ def parse_args():
     p.add_argument("--model_path",
                    default="models/pose_higher_hrnet_w48_640.pth.tar",
                    help="teacher statedict for the frozen stem")
+    p.add_argument("--student", default="attention_steps",
+                   choices=["attention_steps", "cam", "refiner",
+                            "multistage"],
+                   help="attention_steps = the live reference config; "
+                        "the others cover the legacy script family "
+                        "(SURVEY.md §2.3)")
     p.add_argument("--num_heatmaps", type=int, default=17)
     p.add_argument("--ae_dims", type=int, default=0)
     p.add_argument("--inplanes", type=int, default=80)
@@ -93,12 +99,28 @@ def main():
                                    f"[distillation.py]_{timestamp}"))
 
     # model -------------------------------------------------------------
-    model = AttentionStudentSteps(
-        inplanes=args.inplanes, num_heatmaps=args.num_heatmaps,
-        ae_dims=args.ae_dims, detach_att_for_det=True,
-        dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, 64, 64, 3))
-    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    if args.student == "attention_steps":
+        model = AttentionStudentSteps(
+            inplanes=args.inplanes, num_heatmaps=args.num_heatmaps,
+            ae_dims=args.ae_dims, detach_att_for_det=True,
+            dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), x0, x0,
+                               train=False)
+    else:
+        from rtpe_tpu.models import (
+            CamStudent,
+            MultistageStudent,
+            RefinerStudent,
+        )
+        cls = {"cam": CamStudent, "refiner": RefinerStudent,
+               "multistage": MultistageStudent}[args.student]
+        kw = dict(num_heatmaps=args.num_heatmaps, ae_dims=args.ae_dims,
+                  dtype=jnp.bfloat16)
+        if args.student == "cam":
+            kw["inplanes"] = 48
+        model = cls(**kw)
+        variables = model.init(jax.random.PRNGKey(0), x0, train=False)
     if args.model_path and os.path.exists(args.model_path):
         variables = load_pretrained_stem(variables, args.model_path)
         log.info(f"loaded pretrained stem from {args.model_path}")
@@ -108,8 +130,19 @@ def main():
     log.info(model_summary(variables["params"]))
     tb.hparams(vars(args))
 
-    cfg = DistillConfig(distillation_alpha=args.alpha)
-    state = DistillTrainState.create(variables, cfg)
+    if args.student == "attention_steps":
+        cfg = DistillConfig(distillation_alpha=args.alpha)
+        state = DistillTrainState.create(variables, cfg)
+    else:
+        from rtpe_tpu.train.legacy_steps import (
+            StudentDistillConfig,
+            StudentTrainState,
+        )
+        # legacy/distillation_pcr.py:278 uses background_factor 0.01
+        cfg = StudentDistillConfig(
+            distillation_alpha=args.alpha,
+            background_factor=0.01 if args.student == "cam" else 0.0)
+        state = StudentTrainState.create(variables, cfg)
 
     # checkpoint/resume -------------------------------------------------
     ckpt = TrainCheckpointer(os.path.join(args.snapshot_dir, "orbax"))
@@ -135,7 +168,18 @@ def main():
     # mesh + step -------------------------------------------------------
     mesh = make_mesh(n_data=args.mesh_data)
     log.info(f"mesh: {mesh}")
-    step_fn = make_distill_train_step(model, cfg)
+    if args.student == "attention_steps":
+        step_fn = make_distill_train_step(model, cfg)
+    else:
+        from rtpe_tpu.train.legacy_steps import make_student_train_step
+        raw_step = make_student_train_step(
+            model, cfg, out_hw=tuple(args.train_hw))
+
+        def step_fn(state, batch):
+            simple = {"img": batch["img"], "gt_hms": batch["gt_hms"],
+                      "teacher_hms": batch["teacher_hms"],
+                      "mask": batch["mask"]}
+            return raw_step(state, simple)
 
     with mesh:
         state = jax.device_put(state, NamedSharding(mesh, P()))
@@ -163,13 +207,14 @@ def main():
                     break
             # per-epoch snapshots (reference distillation.py:422-431)
             ckpt.save(global_step, jax.device_get(state))
-            prefix = f"{timestamp}_epoch{epoch}_step{global_step}"
-            parts = save_student_parts(
-                {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)},
-                args.snapshot_dir, prefix)
-            log.info(f"saved snapshot parts to {args.snapshot_dir} "
-                     f"({len(parts)} files)")
+            if args.student == "attention_steps":
+                prefix = f"{timestamp}_epoch{epoch}_step{global_step}"
+                parts = save_student_parts(
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    args.snapshot_dir, prefix)
+                log.info(f"saved snapshot parts to {args.snapshot_dir} "
+                         f"({len(parts)} files)")
             if args.max_steps and global_step >= args.max_steps:
                 break
     log.info("PROGRAM FINISHED")
