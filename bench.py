@@ -4,18 +4,23 @@ Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
 
 The headline metric matches BASELINE.json: pose images/sec/chip for the
-W48 teacher at 640×640.  ``vs_baseline`` is the ratio against the
+W48 teacher at 640×640 bf16.  ``vs_baseline`` is the ratio against the
 PyTorch reference baseline estimate of 9.3 img/s — the reference
 publishes no throughput number (BASELINE.md: ``"published": {}``), so
 the estimate is what a HigherHRNet-W48 fp16 640px forward sustains on
 the 8 GB single GPU the author trained on (README.md:36).  The target
 from BASELINE.json is >=10x that baseline.
 
-Extra diagnostics (decode latency p50, batch size sweep) go to stderr;
-the single stdout line is the contract.
+Measurement notes: some execution backends cache identical dispatches,
+so each timed run chains N forwards inside one jitted ``lax.scan`` with
+a data dependency between iterations and fresh random inputs, and the
+clock stops on ``device_get`` of the result — there is nothing left to
+fake.  Decode latency p50 (device NMS/top-k + host grouping) goes to
+stderr as a diagnostic.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +32,7 @@ def log(msg):
 
 
 TORCH_BASELINE_IMG_S = 9.3  # see module docstring
+SCAN_LEN = 5
 
 
 def main():
@@ -37,49 +43,65 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
+    deadline = time.time() + float(
+        os.environ.get("RTPE_BENCH_BUDGET_S", "420"))
 
     model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(
         lambda: model.init(rng, jnp.zeros((1, 64, 64, 3)), train=False))()
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-
-    deadline = time.time() + float(
-        __import__("os").environ.get("RTPE_BENCH_BUDGET_S", "420"))
+    @jax.jit
+    def loop(v, x):
+        def body(carry, _):
+            x = carry
+            coarse, refined = model.apply(v, x, train=False)
+            # data dependency serializes iterations without changing x
+            x = x + (jnp.mean(refined.astype(jnp.float32))
+                     * 1e-9).astype(x.dtype)
+            return x, jnp.sum(coarse.astype(jnp.float32))
+        _, sums = jax.lax.scan(body, x, None, length=SCAN_LEN)
+        return sums
 
     best = 0.0
-    best_bs = 1
-    for bs in (1, 4, 8):
+    best_bs = 0
+    for bs in (8, 16, 32):
         if best > 0 and time.time() > deadline:
             log(f"bs={bs}: skipped (budget)")
             continue
-        x = jax.random.normal(rng, (bs, 640, 640, 3), jnp.float32)
-        t0 = time.time()
-        jax.block_until_ready(fwd(variables, x))
-        log(f"bs={bs}: compile+first {time.time() - t0:.1f}s")
-        # warmup
-        for _ in range(2):
-            jax.block_until_ready(fwd(variables, x))
-        iters = 10
-        t0 = time.time()
-        for _ in range(iters):
-            out = fwd(variables, x)
-        jax.block_until_ready(out)
-        dt = time.time() - t0
-        img_s = bs * iters / dt
-        log(f"bs={bs}: {img_s:.1f} img/s ({dt / iters * 1e3:.1f} ms/iter)")
-        if img_s > best:
-            best, best_bs = img_s, bs
+        try:
+            xw = jax.random.normal(jax.random.PRNGKey(bs),
+                                   (bs, 640, 640, 3), jnp.float32)
+            t0 = time.time()
+            jax.device_get(loop(variables, xw))  # compile + warm
+            log(f"bs={bs}: compile+first {time.time() - t0:.1f}s")
+            times = []
+            for t in range(3):
+                x2 = jax.random.normal(jax.random.PRNGKey(997 * bs + t),
+                                       (bs, 640, 640, 3), jnp.float32)
+                jax.device_get(x2)
+                t0 = time.time()
+                jax.device_get(loop(variables, x2))
+                times.append(time.time() - t0)
+            dt = min(times)
+            img_s = bs * SCAN_LEN / dt
+            log(f"bs={bs}: {img_s:.1f} img/s "
+                f"({dt / SCAN_LEN * 1e3:.1f} ms/batch-fwd)")
+            if img_s > best:
+                best, best_bs = img_s, bs
+        except Exception as e:
+            log(f"bs={bs} failed: {str(e)[:120]}")
 
-    # decode latency p50 (device top-k + host grouping), single image
+    # decode latency p50 (device NMS/top-k + host grouping), single image
     try:
         if time.time() > deadline:
             raise TimeoutError("budget exhausted")
         from rtpe_tpu.decode import HeatmapParser
+        import jax.numpy as jnp
         parser = HeatmapParser(num_joints=17, max_num_people=30)
-        det = np.asarray(
-            jax.random.uniform(rng, (1, 320, 320, 17))) * 0.2
+        rng2 = np.random.RandomState(0)
+        det = np.clip(rng2.rand(1, 320, 320, 17) * 0.2, 0, 1
+                      ).astype(np.float32)
         det[0, 100:103, 100:103, :] = 1.0
         tag = np.zeros((1, 320, 320, 17), np.float32)
         dj, tj = jnp.asarray(det), jnp.asarray(tag)
@@ -90,14 +112,14 @@ def main():
             parser.parse(dj, tj)
             times.append(time.time() - t0)
         log(f"decode p50: {np.median(times) * 1e3:.1f} ms "
-            f"(320x320x17 heatmaps)")
+            f"(320x320x17 heatmaps, host-group path)")
     except Exception as e:  # diagnostics only
         log(f"decode bench skipped: {e}")
 
     result = {
         "metric": "w48_teacher_images_per_sec_per_chip_640_bf16",
         "value": round(best, 2),
-        "unit": f"img/s (batch={best_bs})",
+        "unit": f"img/s (batch={best_bs}, scan-chained, cache-proof)",
         "vs_baseline": round(best / TORCH_BASELINE_IMG_S, 2),
     }
     print(json.dumps(result))
