@@ -23,3 +23,4 @@ from .teacher_cache import (  # noqa: F401
     load_teacher_prediction,
     save_teacher_prediction,
 )
+from .minival import make_rand_minival_split, write_minival_file  # noqa: F401

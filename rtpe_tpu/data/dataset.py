@@ -124,7 +124,8 @@ class CocoDistillationDataset:
         return sample
 
     # ------------------------------------------------------------------
-    def evaluate(self, all_preds, all_scores) -> dict:
+    def evaluate(self, all_preds, all_scores,
+                 output_dir: Optional[str] = None) -> dict:
         """COCO keypoint AP over this dataset's (possibly whitelisted)
         ids — mirrors the reference evaluation path
         (``COCODataset.py:160-222`` + the imgIds restriction of
@@ -147,6 +148,17 @@ class CocoDistillationDataset:
                     "keypoints": flat,
                     "score": float(score),
                 })
+        if output_dir is not None:
+            # reference result-file contract
+            # (COCODataset.py:168-172,224-249)
+            import json
+            res_folder = os.path.join(output_dir, "results")
+            os.makedirs(res_folder, exist_ok=True)
+            res_file = os.path.join(
+                res_folder, f"keypoints_{self.dataset}_results.json")
+            with open(res_file, "w") as f:
+                json.dump(detections, f, sort_keys=True, indent=4)
+
         ev = KeypointEvaluator(self.coco, img_ids=self.ids)
         stats = ev.evaluate(detections)
         return stats
