@@ -1,0 +1,101 @@
+"""End-to-end quantitative validation: ideal heatmaps -> decode -> AP.
+
+Renders perfect Gaussian heatmaps + per-person tag maps from the
+synthetic COCO fixture's ground truth, runs the full decode stack and
+the OKS evaluator, and checks the scores a correct pipeline must
+produce (AP@0.50 = 1.0; mean AP high but < 1 is expected because the
+quarter-pixel adjust shifts ideal peaks by up to 0.75 px).  This is the
+same isolation strategy the reference uses with its precomputed teacher
+outputs (``dataloader_demo.py:90-121``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from test_data_eval import _make_coco_fixture
+
+from rtpe_tpu.data import CocoDistillationDataset, HeatmapGenerator
+from rtpe_tpu.decode import HeatmapParser
+
+
+def _render_ideal(joints, hw, num_joints=17, sigma=2.0):
+    """(P, J, 3) joints -> (H, W, J) heatmaps + per-person tag map."""
+    gen = HeatmapGenerator(num_joints, sigma)
+    det = np.transpose(gen(joints, hw), (1, 2, 0))
+    tag = np.zeros((*hw, num_joints), np.float32)
+    for p, person in enumerate(joints):
+        tval = 2.0 * (p + 1)
+        for j in range(num_joints):
+            x, y, v = person[j]
+            if v > 0:
+                xi, yi = int(x), int(y)
+                y0, y1 = max(0, yi - 4), min(hw[0], yi + 5)
+                x0, x1 = max(0, xi - 4), min(hw[1], xi + 5)
+                tag[y0:y1, x0:x1, j] = tval
+    return det, tag
+
+
+@pytest.mark.parametrize("decode_mode", ["host", "fused"])
+def test_ideal_heatmaps_reach_full_ap50(tmp_path, decode_mode):
+    root = str(tmp_path)
+    _make_coco_fixture(root, n_imgs=3, hw=(128, 160))
+    ds = CocoDistillationDataset(root, "val2017")
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+
+    all_preds, all_scores = [], []
+    for i in range(len(ds)):
+        s = ds[i]
+        det, tag = _render_ideal(s["joints"], s["mask"].shape)
+        dj, tj = jnp.asarray(det[None]), jnp.asarray(tag[None])
+        if decode_mode == "host":
+            grouped, scores = parser.parse(dj, tj, on_device=False)
+        else:
+            grouped, scores = parser.parse_fused(dj, tj)
+        people = [p for p in grouped[0] if np.asarray(p).size > 0]
+        all_preds.append(people)
+        all_scores.append(scores)
+        assert len(people) == s["joints"].shape[0], \
+            f"img {i}: found {len(people)} of {s['joints'].shape[0]}"
+
+    stats = ds.evaluate(all_preds, all_scores, output_dir=root)
+    assert stats["Ap .5"] == pytest.approx(1.0)
+    assert stats["AR .5"] == pytest.approx(1.0)
+    assert stats["AP"] > 0.6  # quarter-pixel adjust costs the top OKS bins
+    # results-file contract
+    import os
+    assert os.path.exists(os.path.join(
+        root, "results", "keypoints_val2017_results.json"))
+
+
+def test_eval_student_engine_with_oracle_model(tmp_path):
+    """Drive eval/engine.py end-to-end with an oracle 'model' that
+    emits the ideal heatmaps+tags for whatever image it is given."""
+    from rtpe_tpu.eval.engine import eval_student
+
+    root = str(tmp_path)
+    _make_coco_fixture(root, n_imgs=2, hw=(128, 160))
+    ds = CocoDistillationDataset(root, "val2017")
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+
+    oracle = {}
+    for i in range(len(ds)):
+        s = ds[i]
+        det, tag = _render_ideal(s["joints"], s["mask"].shape)
+        oracle[s["img"].shape[:2] + (i,)] = np.concatenate(
+            [det, tag], axis=-1)
+    idx = {"i": 0}
+
+    def apply_fn(img_nhwc, out_hw):
+        s = ds[idx["i"]]
+        det, tag = _render_ideal(s["joints"], s["mask"].shape)
+        idx["i"] += 1
+        return jnp.asarray(np.concatenate([det, tag], axis=-1)[None])
+
+    stats = eval_student(apply_fn, parser, ds, num_heatmaps=17,
+                         save_every=1, save_dir=str(tmp_path))
+    assert stats["Ap .5"] == pytest.approx(1.0)
+    import os
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "student_minival_0.jpg"))
