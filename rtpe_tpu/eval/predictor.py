@@ -1,0 +1,78 @@
+"""High-level inference API: image in, people in image coordinates out.
+
+The reference scatters this flow across its validation script
+(``validate_hhrnet.py:84-110``: resize-align -> forward -> upsample ->
+parse -> inverse transform); here it is one object suitable for
+serving.  Distinct input shapes compile once each (the 64-multiple
+resize keeps the shape set small); decode runs on the host-group path
+by default (see decode/parser.py for the trade-offs).
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.preprocess import (
+    get_final_preds,
+    normalize_image,
+    resize_align_multi_scale,
+)
+from ..decode import HeatmapParser
+from ..ops.resize import resize_bilinear
+
+
+class PosePredictor:
+    """Bottom-up multi-person pose inference with the W48 teacher head
+    contract (coarse = heatmaps+tags @1/4, refined = heatmaps @1/2)."""
+
+    def __init__(self, model, variables, num_joints: int = 17,
+                 input_size: int = 640,
+                 parser: Optional[HeatmapParser] = None,
+                 with_flip: bool = False,
+                 scales: Sequence[float] = (1.0,)):
+        self.model = model
+        self.variables = variables
+        self.num_joints = num_joints
+        self.input_size = input_size
+        self.parser = parser or HeatmapParser(num_joints=num_joints)
+        self.with_flip = with_flip
+        self.scales = tuple(scales)
+        self._fwd = jax.jit(
+            lambda x: model.apply(variables, x, train=False))
+
+    def predict(self, image_rgb: np.ndarray
+                ) -> Tuple[List[np.ndarray], List[float]]:
+        """:param image_rgb: (H, W, 3) uint8/float RGB image.
+        :returns: (people, scores) — each person (J, >=3) array with
+          x, y in ORIGINAL image coordinates plus the joint score.
+        """
+        img = np.asarray(image_rgb, dtype=np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        resized, center, scale = resize_align_multi_scale(
+            img * 255.0, self.input_size, 1, 1)
+        x = jnp.asarray(normalize_image(resized / 255.0)[None])
+
+        if self.with_flip or self.scales != (1.0,):
+            from .tta import tta_forward
+            hms, tags = tta_forward(self._fwd, x, self.num_joints,
+                                    self.with_flip, self.scales)
+        else:
+            coarse, refined = self._fwd(x)
+            hms = refined[..., : self.num_joints].astype(jnp.float32)
+            tags = coarse[..., self.num_joints:].astype(jnp.float32)
+            tags = resize_bilinear(tags, hms.shape[1:3],
+                                   align_corners=True)
+
+        grouped, scores = self.parser.parse(hms, tags, adjust=True,
+                                            refine=True)
+        people = [p for p in grouped[0] if np.asarray(p).size > 0]
+        # map heatmap coords back to the original image
+        hm_h, hm_w = int(hms.shape[1]), int(hms.shape[2])
+        final = get_final_preds([people], center, scale, (hm_w, hm_h)) \
+            if people else []
+        return final, scores

@@ -155,6 +155,13 @@ def main():
     # data --------------------------------------------------------------
     whitelist = (read_whitelist(args.minival_file)
                  if args.minival_file else None)
+    minival_ds = None
+    if whitelist and args.student == "attention_steps":
+        minival_ds = CocoDistillationDataset(
+            args.coco_dir, args.train_dataset,
+            remove_images_without_annotations=False,
+            gt_stddevs_pix=[2.0], whitelist_ids=whitelist,
+            alt_colorspace="LAB")
     train_ds = CocoDistillationDataset(
         args.coco_dir, args.train_dataset, args.teacher_dir,
         remove_images_without_annotations=True,
@@ -202,7 +209,56 @@ def main():
                     tb.scalars(m, global_step)
                 if (args.diagnose_every
                         and global_step % args.diagnose_every == 0):
+                    # images + parameter histograms, like the reference
+                    # TB diagnostics (distillation.py:346-389)
+                    img0 = np.asarray(batch["img"])[0]
+                    img0 = (img0 - img0.min()) / (np.ptp(img0) + 1e-9)
+                    tb.image("batch imgs", img0, global_step)
+                    tb.image("gradient masks",
+                             np.asarray(batch["mask"])[0].max(-1),
+                             global_step)
+                    tb.image("attention masks",
+                             np.asarray(batch["segm_mask"])[0, :, :, 0],
+                             global_step)
+                    tb.image("GT heatmaps_1",
+                             np.asarray(batch["gt_hms"])[0].max(-1),
+                             global_step)
+                    from flax.traverse_util import flatten_dict
+                    for path, p in flatten_dict(
+                            jax.device_get(state.params)).items():
+                        tb.histogram("/".join(path) + "_PARAMETERS",
+                                     np.asarray(p), global_step)
                     tb.flush()
+                if (minival_ds is not None and args.minival_every
+                        and global_step % args.minival_every == 0):
+                    # in-training minival: attention BCE over the
+                    # whitelist (the reference's AP minival was
+                    # commented out, distillation.py:391-418; detection
+                    # AP needs AE channels, ae_dims=0 in this config)
+                    from rtpe_tpu.data.preprocess import normalize_image
+                    from rtpe_tpu.ops.resize import resize_bilinear
+                    from rtpe_tpu.train import bce_with_logits
+                    t0 = time.time()
+                    mv_losses = []
+                    for mi in range(len(minival_ds)):
+                        s = minival_ds[mi]
+                        att, _ = model.apply(
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats},
+                            jnp.asarray(normalize_image(s["img"])[None]),
+                            jnp.asarray(s["img_alt"][None]), train=False)
+                        segm = resize_bilinear(
+                            jnp.asarray(
+                                s["segm_mask"][None, :, :, None]),
+                            att.shape[1:3], align_corners=False)
+                        mv_losses.append(float(bce_with_logits(
+                            att, segm, 7.0)))
+                    mv = float(np.mean(mv_losses))
+                    log.info(f"MINIVAL att loss: {mv:.5f} "
+                             f"({time.time() - t0:.1f}s)")
+                    tb.scalar("minival att loss", mv, global_step)
+                    tb.scalar("minival elapsed_seconds",
+                              time.time() - t0, global_step)
                 if args.max_steps and global_step >= args.max_steps:
                     break
             # per-epoch snapshots (reference distillation.py:422-431)

@@ -69,6 +69,33 @@ def test_ideal_heatmaps_reach_full_ap50(tmp_path, decode_mode):
         root, "results", "keypoints_val2017_results.json"))
 
 
+def test_pose_predictor_api(tmp_path):
+    """PosePredictor: raw image in, original-coordinate people out."""
+    import jax
+
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import HRNetConfig, PoseHigherHRNet, StageCfg
+
+    cfg = HRNetConfig(
+        num_joints=17, stage2=StageCfg(1, 2, "BASIC", (1, 1), (8, 16)),
+        stage3=StageCfg(1, 3, "BASIC", (1, 1, 1), (8, 16, 32)),
+        stage4=StageCfg(1, 4, "BASIC", (1, 1, 1, 1), (8, 16, 32, 64)),
+        deconv_chans=(8,), deconv_num_blocks=1)
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    pred = PosePredictor(model, variables, input_size=128)
+    img = (np.random.RandomState(0).rand(100, 140, 3) * 255
+           ).astype(np.uint8)
+    people, scores = pred.predict(img)
+    assert isinstance(people, list) and isinstance(scores, list)
+    for p in people:
+        p = np.asarray(p)
+        assert p.shape[0] == 17
+        # coordinates mapped back into (roughly) original image range
+        assert p[:, 0].max() < 140 * 1.5 and p[:, 1].max() < 100 * 1.5
+
+
 def test_eval_student_engine_with_oracle_model(tmp_path):
     """Drive eval/engine.py end-to-end with an oracle 'model' that
     emits the ideal heatmaps+tags for whatever image it is given."""
