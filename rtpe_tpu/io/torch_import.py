@@ -191,6 +191,89 @@ def import_teacher_statedict(variables: Dict,
     return new_vars
 
 
+def _cam_prefix(parts: Tuple[str, ...], torch_root: str) -> str:
+    """Map a flax ContextAwareModule member path onto the reference
+    CAM's torch names (``rtpe/students.py:145-178``)."""
+    name = parts[0]
+    if name == "residual_conv":
+        return f"{torch_root}.residual.0"
+    if name == "residual_bn":
+        return f"{torch_root}.residual.1"
+    if name == "se":
+        fc = {"fc1": "0", "fc2": "2"}[parts[1]]
+        return f"{torch_root}.se.fc.{fc}"
+    m = re.fullmatch(r"hdc(\d+)_(conv|bn)", name)
+    if m:
+        i, kind = m.groups()
+        return f"{torch_root}.hdcs.{i}.{0 if kind == 'conv' else 1}"
+    if name == "hdc_top_conv":
+        return f"{torch_root}.hdc_top.0"
+    if name == "hdc_top_bn":
+        return f"{torch_root}.hdc_top.1"
+    raise KeyError(f"unknown CAM member {parts}")
+
+
+def import_attention_student_parts(variables: Dict, snapshot_dir: str,
+                                   prefix: str) -> Dict:
+    """Load a reference per-part ``AttentionStudent`` snapshot (the 4MB
+    ``assets/pretrained_segm_4MB`` artifact and anything saved by the
+    reference's ``load_state_dicts`` contract,
+    ``rtpe/students.py:708-722``) into the flax
+    :class:`rtpe_tpu.models.AttentionStudent` template.
+
+    Parts: ``mid_stem`` (Sequential conv,bn,relu ×2), ``att_hi`` (CAM at
+    Sequential index 0), ``att_mid``/``att_lo`` (AvgPool+CAM, CAM at
+    index 1), ``att_top`` (conv at index 0).  Detection-body parts are
+    left untouched when absent.
+    """
+    import os
+
+    import torch
+
+    def load(part):
+        path = os.path.join(snapshot_dir, f"{prefix}{part}.statedict")
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        return {k: v.detach().to(torch.float32).numpy()
+                for k, v in sd.items()
+                if not k.endswith("num_batches_tracked")}
+
+    mid = load("mid_stem")
+    tops = load("att_top")
+    cams = {"hi": (load("att_hi"), "0"),
+            "mid": (load("att_mid"), "1"),
+            "lo": (load("att_lo"), "1")}
+
+    mid_map = {"mid_stem_conv0": "0", "mid_stem_bn0": "1",
+               "mid_stem_conv1": "3", "mid_stem_bn1": "4"}
+
+    flat = dict(flatten_dict(variables))
+    out = dict(flat)
+    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    for path, template in flat.items():
+        collection, *mods, leaf = path
+        if not mods:
+            continue
+        if mods[0] in mid_map:
+            key = f"{mid_map[mods[0]]}.{suffixes[leaf]}"
+            src = mid[key]
+        elif mods[0] == "att_top":
+            src = tops[f"0.{suffixes[leaf]}"]
+        elif mods[0] == "att" and mods[1] in cams:
+            sd, root = cams[mods[1]]
+            key = (_cam_prefix(tuple(mods[2:]), root)
+                   + f".{suffixes[leaf]}")
+            src = sd[key]
+        else:
+            continue
+        arr = _convert_leaf(np.asarray(src), leaf, is_tconv=False)
+        if tuple(arr.shape) != tuple(np.shape(template)):
+            raise ValueError(f"shape mismatch at {path}: {arr.shape} vs"
+                             f" {np.shape(template)}")
+        out[path] = arr
+    return unflatten_dict(out)
+
+
 _STEM_KEYS = re.compile(r"^(conv1|bn1|conv2|bn2|layer1)\.")
 
 

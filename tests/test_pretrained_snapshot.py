@@ -1,0 +1,70 @@
+"""Real-weights parity: the reference's bundled pretrained attention
+snapshot (``assets/pretrained_segm_4MB``, AttentionStudent inplanes=100)
+loaded through our importer must reproduce the torch model's attention
+output on the same input.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import REFERENCE_PATH, add_reference_to_path, has_reference
+
+SNAP_DIR = os.path.join(REFERENCE_PATH, "assets", "pretrained_segm_4MB")
+SNAP_PREFIX = "17_May_2020_19:48:38.493_epoch11_step3001"
+
+pytestmark = pytest.mark.skipif(
+    not (has_reference() and os.path.isdir(SNAP_DIR)),
+    reason="pretrained snapshot not mounted")
+
+
+def test_attention_student_real_snapshot_parity():
+    add_reference_to_path()
+    from rtpe.students import AttentionStudent as TorchAttentionStudent
+
+    from rtpe_tpu.io.torch_import import (
+        import_attention_student_parts,
+        import_stem_statedict,
+    )
+    from rtpe_tpu.models import AttentionStudent
+
+    torch.manual_seed(0)
+    tm = TorchAttentionStudent(hhrnet_statedict_path=None, device="cpu",
+                               inplanes=100, num_heatmaps=17, ae_dims=1,
+                               half_precision=False,
+                               init_fn=torch.nn.init.kaiming_normal_,
+                               trainable_stem=False)
+    tm.load_state_dicts(os.path.join(SNAP_DIR, SNAP_PREFIX))
+    tm.eval()
+
+    fm = AttentionStudent(inplanes=100, num_heatmaps=17, ae_dims=1,
+                          dtype=jnp.float32)
+    x_np = np.random.RandomState(1).rand(1, 96, 128, 3).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                        train=False)
+
+    # share the (random) stem: export the torch stem as a statedict with
+    # the fp16-wrapper prefix our stem importer expects
+    stem_sd = {("1." + k): v.detach().numpy()
+               for k, v in tm.stem[1].state_dict().items()
+               if not k.endswith("num_batches_tracked")}
+    variables = import_stem_statedict(variables, stem_sd)
+    # load the real pretrained attention parts
+    variables = import_attention_student_parts(variables, SNAP_DIR,
+                                               SNAP_PREFIX)
+
+    with torch.no_grad():
+        att_t, _ = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    att_j, _ = fm.apply(variables, jnp.asarray(x_np), train=False)
+
+    att_t = att_t.numpy()                      # (1, 1, h, w), sigmoided
+    att_j = np.asarray(att_j).transpose(0, 3, 1, 2)
+    assert att_t.shape == att_j.shape
+    np.testing.assert_allclose(att_j, att_t, rtol=1e-3, atol=2e-4)
+    # the real weights produce a non-degenerate attention map
+    assert att_t.std() > 1e-4
