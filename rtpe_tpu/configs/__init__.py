@@ -12,8 +12,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 from ..data.augment import AugmentConfig
-from ..models.hrnet import HRNetConfig, StageCfg, w48_config
-from ..train.schedules import SgdrConfig
+from ..models.hrnet import HRNetConfig, w48_config
 from ..train.step import DistillConfig
 
 

@@ -10,7 +10,7 @@ corpus; loaders return NHWC-friendly HWC.
 """
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

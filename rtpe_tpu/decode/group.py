@@ -16,8 +16,6 @@ assigned, and all pairs are returned (the caller drops out-of-range
 ones, exactly like the reference's bounds check at ``group.py:81-85``).
 """
 
-from typing import List
-
 import numpy as np
 
 from ..native import lap_solve

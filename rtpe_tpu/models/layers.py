@@ -7,7 +7,7 @@ the bf16 analog of the reference's fp16-model/fp32-BN policy
 (``rtpe/third_party/fp16_utils/fp16util.py:71-91``).
 """
 
-from typing import Any, Sequence, Tuple, Union
+from typing import Any
 
 import jax
 import jax.numpy as jnp

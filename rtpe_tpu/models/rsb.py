@@ -8,7 +8,7 @@ reference's ``checkpoint`` flag maps to ``jax.checkpoint``
 rematerialization.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ headless runs still record metrics.
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

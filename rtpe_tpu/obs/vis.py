@@ -6,7 +6,7 @@ used by ``validate_hhrnet.py:104-110`` and ``engine.py:57-62``) and
 colorized heatmap grids for TensorBoard.
 """
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -10,9 +10,6 @@ inside ``shard_map``.  Zero padding at the outer edges reproduces
 exactly the unsharded 'same' convolution.
 """
 
-from functools import partial
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax import lax

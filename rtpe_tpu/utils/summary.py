@@ -7,7 +7,7 @@ analysis instead of per-layer hooks — the compiler's number includes
 fusion and is what the hardware will actually run.
 """
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
