@@ -42,13 +42,28 @@ def conv(features: int, ksize: int = 3, stride: int = 1, padding: int = 0,
     )
 
 
+# BatchNorm compute dtype. fp32 is the parity default (the bf16 analog
+# of the reference's fp32-BN-in-fp16-model policy).  Setting bf16 via
+# :func:`set_bn_compute_dtype` keeps BN *statistics/params* fp32 but
+# computes the normalization in bf16, removing fp32 materialization
+# between conv and BN on the memory-bound HRNet trunk.  Heatmap outputs
+# shift within bf16 tolerance; AP-irrelevant, parity-tests-relevant —
+# leave fp32 when comparing against torch.
+_BN_COMPUTE_DTYPE = jnp.float32
+
+
+def set_bn_compute_dtype(dtype) -> None:
+    global _BN_COMPUTE_DTYPE
+    _BN_COMPUTE_DTYPE = dtype
+
+
 def batch_norm(momentum: float = BN_MOMENTUM_TORCH,
                name: str = None) -> nn.BatchNorm:
-    """torch ``nn.BatchNorm2d`` equivalent (fp32 compute, fp32 stats)."""
+    """torch ``nn.BatchNorm2d`` equivalent (fp32 stats/params)."""
     return nn.BatchNorm(
         momentum=torch_bn_momentum(momentum),
         epsilon=BN_EPS,
-        dtype=jnp.float32,
+        dtype=_BN_COMPUTE_DTYPE,
         param_dtype=jnp.float32,
         name=name,
     )
