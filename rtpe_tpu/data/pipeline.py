@@ -33,22 +33,25 @@ from .targets import render_heatmaps
 MAX_PEOPLE = 30
 
 
-@partial(jax.jit, static_argnames=("out_hw", "sigma", "num_joints",
+@partial(jax.jit, static_argnames=("out_hw", "sigmas", "num_joints",
                                    "alt_colorspace"))
 def _augment_batch_device(imgs, masks, segms, teacher_hms, teacher_ae,
                           joints, matrices, out_hw: Tuple[int, int],
-                          sigma: float, num_joints: int,
+                          sigmas: Tuple[float, ...], num_joints: int,
                           alt_colorspace: str):
     """One fused device program: normalize, colorspace, render, warp."""
     imgs = imgs.astype(jnp.float32)
     alt_fn = rgb_to_lab if alt_colorspace == "LAB" else rgb_to_hsv
     img_alt = alt_fn(imgs)
     img_norm = (imgs - jnp.asarray(IMG_MEAN)) / jnp.asarray(IMG_STD)
-    gt_hms = render_heatmaps(joints, imgs.shape[1:3], sigma)
+    # one target set per sigma (reference gt_stddevs_pix list semantics,
+    # dataloaders.py:114-118; live configs use a single sigma)
+    gt_sets = [render_heatmaps(joints, imgs.shape[1:3], s)
+               for s in sigmas]
 
     planes = jnp.concatenate([
         img_norm, img_alt, masks[..., None], segms[..., None],
-        gt_hms, teacher_hms, teacher_ae,
+        *gt_sets, teacher_hms, teacher_ae,
     ], axis=-1)
     warped = affine_warp(planes, matrices, out_hw)
 
@@ -65,9 +68,11 @@ def _augment_batch_device(imgs, masks, segms, teacher_hms, teacher_ae,
         "mask": take(1),
         "segm_mask": take(1),
         "gt_hms": take(num_joints),
-        "teacher_hms": take(teacher_hms.shape[-1]),
-        "teacher_ae": take(teacher_ae.shape[-1]),
     }
+    for k in range(1, len(sigmas)):
+        out[f"gt_hms_{k + 1}"] = take(num_joints)
+    out["teacher_hms"] = take(teacher_hms.shape[-1])
+    out["teacher_ae"] = take(teacher_ae.shape[-1])
     return out
 
 
@@ -77,7 +82,7 @@ class TrainPipeline:
 
     def __init__(self, dataset, batch_size: int = 16,
                  out_hw: Tuple[int, int] = (450, 450),
-                 sigma: float = 7.0,
+                 sigma=7.0,
                  canvas_hw: Tuple[int, int] = (640, 640),
                  augment: Optional[AugmentConfig] = None,
                  alt_colorspace: str = "LAB",
@@ -88,7 +93,8 @@ class TrainPipeline:
         self.ds = dataset
         self.batch_size = batch_size
         self.out_hw = tuple(out_hw)
-        self.sigma = float(sigma)
+        self.sigmas = tuple(float(s) for s in (
+            sigma if isinstance(sigma, (tuple, list)) else (sigma,)))
         self.canvas_hw = tuple(canvas_hw)
         self.augment = augment or AugmentConfig(out_hw=self.out_hw)
         self.alt_colorspace = alt_colorspace
@@ -163,7 +169,7 @@ class TrainPipeline:
             batch = _augment_batch_device(
                 jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(segms),
                 jnp.asarray(t_hms), jnp.asarray(t_ae), jnp.asarray(joints),
-                jnp.asarray(mats), self.out_hw, self.sigma,
+                jnp.asarray(mats), self.out_hw, self.sigmas,
                 self.num_joints, self.alt_colorspace)
             batch["img_id"] = img_ids
             yield batch

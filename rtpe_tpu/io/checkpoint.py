@@ -69,6 +69,29 @@ def save_student_parts(variables: Dict, out_dir: str, prefix: str) -> List[str]:
     return written
 
 
+def save_parts_by_toplevel(variables: Dict, out_dir: str,
+                           prefix: str) -> List[str]:
+    """Part snapshots for arbitrary students: one npz per top-level
+    module (stem excluded — it is the frozen pretrained part)."""
+    os.makedirs(out_dir, exist_ok=True)
+    buckets: Dict[str, Dict[str, np.ndarray]] = {}
+    for collection in ("params", "batch_stats"):
+        if collection not in variables:
+            continue
+        for path, val in flatten_dict(variables[collection]).items():
+            top = path[0]
+            if top == "stem":
+                continue
+            key = collection + "/" + "/".join(path)
+            buckets.setdefault(top, {})[key] = np.asarray(val)
+    written = []
+    for part, arrs in buckets.items():
+        path = os.path.join(out_dir, f"{prefix}{part}.statedict.npz")
+        np.savez_compressed(path, **arrs)
+        written.append(path)
+    return written
+
+
 def load_student_parts(variables: Dict, in_dir: str, prefix: str,
                        parts: Optional[List[str]] = None) -> Dict:
     """Load saved parts back into a variable template (non-strict over

@@ -263,14 +263,18 @@ def main():
                     break
             # per-epoch snapshots (reference distillation.py:422-431)
             ckpt.save(global_step, jax.device_get(state))
+            prefix = f"{timestamp}_epoch{epoch}_step{global_step}"
+            snap_vars = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
             if args.student == "attention_steps":
-                prefix = f"{timestamp}_epoch{epoch}_step{global_step}"
-                parts = save_student_parts(
-                    {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)},
-                    args.snapshot_dir, prefix)
-                log.info(f"saved snapshot parts to {args.snapshot_dir} "
-                         f"({len(parts)} files)")
+                parts = save_student_parts(snap_vars, args.snapshot_dir,
+                                           prefix)
+            else:
+                from rtpe_tpu.io.checkpoint import save_parts_by_toplevel
+                parts = save_parts_by_toplevel(snap_vars,
+                                               args.snapshot_dir, prefix)
+            log.info(f"saved snapshot parts to {args.snapshot_dir} "
+                     f"({len(parts)} files)")
             if args.max_steps and global_step >= args.max_steps:
                 break
     log.info("PROGRAM FINISHED")

@@ -205,6 +205,52 @@ def test_eval_missing_person_halves_recall(tmp_path):
     assert 0.4 < stats["AP"] <= 0.51
 
 
+def test_eval_crowd_and_unannotated_are_ignored(tmp_path):
+    """Crowd gts and num_keypoints==0 gts must neither count as misses
+    nor penalize detections matched to them (COCO protocol)."""
+    import json
+    root = str(tmp_path)
+    truth = _make_coco_fixture(root)
+    anno_path = os.path.join(root, "annotations",
+                             "person_keypoints_val2017.json")
+    with open(anno_path) as f:
+        data = json.load(f)
+    # add one crowd region and one unannotated person per image
+    next_id = max(a["id"] for a in data["annotations"]) + 1
+    for im in data["images"]:
+        data["annotations"].append({
+            "id": next_id, "image_id": im["id"], "category_id": 1,
+            "keypoints": [0] * 51, "num_keypoints": 0, "iscrowd": 1,
+            "area": 400.0, "bbox": [0, 0, 20, 20],
+            "segmentation": {"size": [im["height"], im["width"]],
+                             "counts": [im["height"] * im["width"]]},
+        })
+        next_id += 1
+    with open(anno_path, "w") as f:
+        json.dump(data, f)
+
+    ds = CocoDistillationDataset(root, "val2017")
+    all_preds, all_scores = [], []
+    for img_id in ds.ids:
+        people = []
+        for kps in truth[img_id]:
+            arr = np.asarray(kps, dtype=np.float64).reshape(17, 3)
+            arr[:, 2] = 0.9
+            people.append(arr)
+        # an extra detection inside the crowd region: must be ignored,
+        # not counted as a false positive
+        stray = np.zeros((17, 3))
+        stray[:, 0] = 5 + np.arange(17) % 4
+        stray[:, 1] = 5 + np.arange(17) // 4
+        stray[:, 2] = 0.8
+        people.append(stray)
+        all_preds.append(people)
+        all_scores.append([0.9, 0.9, 0.8])
+    stats = ds.evaluate(all_preds, all_scores)
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["AR"] == pytest.approx(1.0)
+
+
 def test_eval_jittered_predictions_degrade(tmp_path):
     root = str(tmp_path)
     truth = _make_coco_fixture(root)
