@@ -38,6 +38,13 @@ def main():
                              "pipeline uses it; legacy/valid_ae1dim.py)")
     parser.add_argument("--scales", type=str, default="1",
                         help="comma-separated multi-scale TTA factors")
+    parser.add_argument("--ae_mode", default="full",
+                        choices=["full", "first", "mean"],
+                        help="associative-embedding ablations from the "
+                             "reference's studies (explorations.md:"
+                             "209-244): 'first' keeps only AE dim 0 "
+                             "(legacy/valid_ae1dim.py), 'mean' averages "
+                             "the dims (legacy/valid_ae_avg.py)")
     args = parser.parse_args()
 
     import jax
@@ -63,11 +70,20 @@ def main():
                                  whitelist_ids=whitelist)
     model, variables = get_hrnet_w48_teacher(args.model_path)
     fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
-    # parser params: reference validate_hhrnet.py:78
+    # parser params: reference validate_hhrnet.py:78; 'first'/'mean' AE
+    # modes reduce tags to one channel shared across joints
     hm_parser = HeatmapParser(num_joints=17, max_num_people=30,
                               detection_threshold=0.1, tag_threshold=1.0,
                               use_detection_val=True, ignore_too_much=False,
-                              tag_per_joint=True, nms_ksize=5, nms_padding=2)
+                              tag_per_joint=args.ae_mode == "full",
+                              nms_ksize=5, nms_padding=2)
+
+    def reduce_ae(aes):
+        if args.ae_mode == "first":
+            return aes[..., 0:1]
+        if args.ae_mode == "mean":
+            return jnp.mean(aes, axis=-1, keepdims=True)
+        return aes
 
     scales = tuple(float(s) for s in args.scales.split(","))
     use_tta = args.flip or scales != (1.0,)
@@ -99,8 +115,8 @@ def main():
                                   align_corners=True)
             aes = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
                                   (h, w), align_corners=True)
-        grouped, scores = hm_parser.parse(hms, aes, adjust=True,
-                                          refine=True)
+        grouped, scores = hm_parser.parse(hms, reduce_ae(aes),
+                                          adjust=True, refine=True)
         final = [p for p in grouped[0] if p.size > 0]
         all_preds.append(final)
         all_scores.append(scores)

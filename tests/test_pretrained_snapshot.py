@@ -23,6 +23,54 @@ pytestmark = pytest.mark.skipif(
     reason="pretrained snapshot not mounted")
 
 
+def test_attention_steps_full_statedict_parity():
+    """Full-model parity for the flagship AttentionStudentSteps: torch
+    statedict -> flax via the complete importer; (att, det) outputs must
+    agree, including the attention-divisor path."""
+    add_reference_to_path()
+    from rtpe.students import AttentionStudentSteps as TorchSteps
+
+    from rtpe_tpu.io.torch_import import import_attention_steps_statedict
+    from rtpe_tpu.models import AttentionStudentSteps
+
+    torch.manual_seed(3)
+    tm = TorchSteps(hhrnet_statedict_path=None, device="cpu",
+                    inplanes=80, num_heatmaps=17, ae_dims=0,
+                    half_precision=False,
+                    init_fn=torch.nn.init.kaiming_normal_,
+                    trainable_stem=False)
+    tm.eval()
+    g = torch.Generator().manual_seed(4)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3, generator=g)
+            m.running_var.uniform_(0.5, 1.5, generator=g)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    fm = AttentionStudentSteps(inplanes=80, num_heatmaps=17, ae_dims=0,
+                               dtype=jnp.float32)
+    x_np = np.random.RandomState(5).rand(1, 96, 128, 3).astype(np.float32)
+    a_np = np.random.RandomState(6).rand(1, 96, 128, 3).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                        jnp.asarray(a_np), train=False)
+    variables = import_attention_steps_statedict(variables, sd)
+
+    with torch.no_grad():
+        att_t, det_t = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+                          alt=torch.from_numpy(a_np.transpose(0, 3, 1, 2)),
+                          att_divisor=13.0)
+    att_j, det_j = fm.apply(variables, jnp.asarray(x_np),
+                            jnp.asarray(a_np),
+                            att_divisor=jnp.float32(13.0), train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(att_j).transpose(0, 3, 1, 2), att_t.numpy(),
+        rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(det_j).transpose(0, 3, 1, 2), det_t.numpy(),
+        rtol=1e-3, atol=5e-4)
+
+
 def test_attention_student_real_snapshot_parity():
     add_reference_to_path()
     from rtpe.students import AttentionStudent as TorchAttentionStudent
