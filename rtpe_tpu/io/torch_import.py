@@ -333,6 +333,76 @@ def import_attention_steps_statedict(variables: Dict,
     return unflatten_dict(out)
 
 
+def _skipconv_key(mods: Tuple[str, ...], leaf: str, torch_root: str,
+                  suffixes: Dict[str, str]) -> str:
+    """flax SkipConv member -> reference SkipConv names
+    (``rtpe/students.py:37-90``: convs/bns ModuleLists + downsample)."""
+    name = mods[0]
+    m = re.fullmatch(r"conv(\d+)", name)
+    if m:
+        return f"{torch_root}.convs.{m.group(1)}.{suffixes[leaf]}"
+    m = re.fullmatch(r"bn(\d+)", name)
+    if m:
+        return f"{torch_root}.bns.{m.group(1)}.{suffixes[leaf]}"
+    if name == "downsample_conv":
+        return f"{torch_root}.downsample.0.{suffixes[leaf]}"
+    if name == "downsample_bn":
+        return f"{torch_root}.downsample.1.{suffixes[leaf]}"
+    raise KeyError(f"unknown SkipConv member {mods}")
+
+
+def import_student_statedict(variables: Dict, sd: Dict[str, np.ndarray],
+                             arch: str) -> Dict:
+    """Full torch statedict -> flax for the legacy student family.
+
+    :param arch: 'cam' (``CamStudent``, students.py:502-592),
+      'refiner' (``RefinerStudent``, :302-386) or 'multistage'
+      (``MultistageStudent``, :389-498).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.endswith("num_batches_tracked")}
+    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+
+    def torch_key(mods: Tuple[str, ...], leaf: str) -> str:
+        head = mods[0]
+        if head == "stem":
+            return "stem.1." + _teacher_prefix(tuple(mods[1:])) \
+                + f".{suffixes[leaf]}"
+        if arch == "cam":
+            if head == "mid_stem_conv":
+                return f"mid_stem.0.{suffixes[leaf]}"
+            if head == "mid_stem_bn":
+                return f"mid_stem.1.{suffixes[leaf]}"
+            m = re.fullmatch(r"cam(\d+)", head)
+            if m:
+                return _cam_prefix(tuple(mods[1:]), f"cams.{m.group(1)}"
+                                   ) + f".{suffixes[leaf]}"
+            m = re.fullmatch(r"hm_conv(\d+)", head)
+            if m:
+                return f"hm_convs.{m.group(1)}.{suffixes[leaf]}"
+        else:  # refiner / multistage: stages of SkipConvs
+            m = re.fullmatch(r"stage(\d+)", head)
+            if m:
+                return _skipconv_key(tuple(mods[1:]), leaf,
+                                     f"stages.{m.group(1)}", suffixes)
+        raise KeyError(f"unknown {arch} module {mods}")
+
+    flat = flatten_dict(variables)
+    out = {}
+    for path, template in flat.items():
+        collection, *mods, leaf = path
+        key = torch_key(tuple(mods), leaf)
+        if key not in sd:
+            raise KeyError(f"torch statedict missing {key} (for {path})")
+        arr = _convert_leaf(sd[key], leaf, is_tconv=False)
+        if tuple(arr.shape) != tuple(np.shape(template)):
+            raise ValueError(f"shape mismatch at {path}: torch "
+                             f"{arr.shape} vs flax {np.shape(template)}")
+        out[path] = arr
+    return unflatten_dict(out)
+
+
 _STEM_KEYS = re.compile(r"^(conv1|bn1|conv2|bn2|layer1)\.")
 
 

@@ -71,6 +71,74 @@ def test_attention_steps_full_statedict_parity():
         rtol=1e-3, atol=5e-4)
 
 
+def _randomize_bn(tm, seed):
+    g = torch.Generator().manual_seed(seed)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3, generator=g)
+            m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+@pytest.mark.parametrize("arch", ["cam", "refiner", "multistage"])
+def test_legacy_student_full_statedict_parity(arch):
+    add_reference_to_path()
+    from rtpe.students import (
+        CamStudent as TCam,
+        MultistageStudent as TMulti,
+        RefinerStudent as TRef,
+    )
+
+    from rtpe_tpu.io.torch_import import import_student_statedict
+    from rtpe_tpu.models import CamStudent, MultistageStudent, RefinerStudent
+
+    torch.manual_seed(7)
+    common = dict(hhrnet_statedict_path=None, device="cpu",
+                  num_heatmaps=17, ae_dims=1, half_precision=False,
+                  init_fn=torch.nn.init.kaiming_normal_,
+                  trainable_stem=False)
+    if arch == "cam":
+        tm = TCam(inplanes=48, num_stages=3, **common)
+        fm = CamStudent(inplanes=48, num_stages=3, num_heatmaps=17,
+                        ae_dims=1, dtype=jnp.float32)
+    elif arch == "refiner":
+        tm = TRef(layers_per_stage=[2, 2], **common)
+        fm = RefinerStudent(layers_per_stage=(2, 2), num_heatmaps=17,
+                            ae_dims=1, dtype=jnp.float32)
+    else:
+        # reference bug: MultistageStudent.__init__ invokes
+        # RefinerStudent.__init__() with its device="cuda" defaults
+        # (students.py:405), crashing on CPU-only torch; bypass the
+        # parent init for construction
+        import rtpe.students as rstud
+        orig_init = rstud.RefinerStudent.__init__
+        rstud.RefinerStudent.__init__ = torch.nn.Module.__init__
+        try:
+            tm = TMulti(layers_per_stage=[2, 2], **common)
+        finally:
+            rstud.RefinerStudent.__init__ = orig_init
+        fm = MultistageStudent(layers_per_stage=(2, 2), num_heatmaps=17,
+                               ae_dims=1, dtype=jnp.float32)
+    tm.eval()
+    _randomize_bn(tm, 8)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    x_np = np.random.RandomState(9).rand(1, 64, 96, 3).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                        train=False)
+    variables = import_student_statedict(variables, sd, arch)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    got = fm.apply(variables, jnp.asarray(x_np), train=False)
+    want = want if isinstance(want, (list, tuple)) else [want]
+    got = got if isinstance(got, (list, tuple)) else [got]
+    assert len(want) == len(got)
+    for w_t, g_j in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_j).transpose(0, 3, 1, 2), w_t.numpy(),
+            rtol=1e-3, atol=5e-4)
+
+
 def test_attention_student_real_snapshot_parity():
     add_reference_to_path()
     from rtpe.students import AttentionStudent as TorchAttentionStudent
