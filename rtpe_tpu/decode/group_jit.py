@@ -14,8 +14,14 @@ collisions resetting the tag list) are reproduced with an explicit key
 table.
 
 Known divergence: on exact cost ties the Hungarian may pick a different
-optimal assignment than munkres (same total cost).  The host path in
-``group.py`` remains the bit-exact oracle.
+optimal assignment than munkres (same total cost).  Quantified on
+synthetic scenes: all tag-per-joint scenes bit-match the host path;
+with a single shared tag map (tag_per_joint=False, where exact float
+ties between person columns are common) 7 of 20 heavily-degenerate
+scenes resolve ties differently at sub-1e-3 cost deltas the fp32 solver
+cannot order like float64 munkres.  Real-valued embeddings do not tie
+exactly; the host path in ``group.py`` remains the bit-exact oracle and
+the default.
 """
 
 from functools import partial

@@ -274,6 +274,57 @@ def import_attention_student_parts(variables: Dict, snapshot_dir: str,
     return unflatten_dict(out)
 
 
+def import_attention_student_statedict(variables: Dict,
+                                       sd: Dict[str, np.ndarray]) -> Dict:
+    """Full torch ``AttentionStudent`` statedict -> flax
+    (``rtpe/students.py:595-781``).  The unused torch ``det_mid`` branch
+    (never called in the reference forward) is dropped."""
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.endswith("num_batches_tracked")}
+    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    seq_stem = {"conv0": "0", "bn0": "1", "conv1": "3", "bn1": "4"}
+
+    def torch_key(mods: Tuple[str, ...], leaf: str) -> str:
+        head = mods[0]
+        if head == "stem":
+            return "stem.1." + _teacher_prefix(tuple(mods[1:])) \
+                + f".{suffixes[leaf]}"
+        m = re.fullmatch(r"mid_stem_(conv0|bn0|conv1|bn1)", head)
+        if m:
+            return f"mid_stem.{seq_stem[m.group(1)]}.{suffixes[leaf]}"
+        if head == "att":
+            root = {"hi": "att_hi.0", "mid": "att_mid.1",
+                    "lo": "att_lo.1"}[mods[1]]
+            return _cam_prefix(tuple(mods[2:]), root) \
+                + f".{suffixes[leaf]}"
+        if head == "att_top":
+            return f"att_top.0.{suffixes[leaf]}"
+        if head == "det_hi":
+            return _cam_prefix(tuple(mods[1:]), "det_hi.0") \
+                + f".{suffixes[leaf]}"
+        if head == "det_lo":
+            return _cam_prefix(tuple(mods[1:]), "det_lo.1") \
+                + f".{suffixes[leaf]}"
+        if head == "det_top":
+            return f"det_top.0.{suffixes[leaf]}"
+        raise KeyError(f"unknown AttentionStudent module {mods}")
+
+    flat = flatten_dict(variables)
+    out = {}
+    for path, template in flat.items():
+        collection, *mods, leaf = path
+        key = torch_key(tuple(mods), leaf)
+        if key not in sd:
+            raise KeyError(f"torch statedict missing {key} (for {path})")
+        arr = _convert_leaf(sd[key], leaf, is_tconv=False)
+        if tuple(arr.shape) != tuple(np.shape(template)):
+            raise ValueError(f"shape mismatch at {path}: torch "
+                             f"{arr.shape} vs flax {np.shape(template)}")
+        out[path] = arr
+    return unflatten_dict(out)
+
+
 def import_attention_steps_statedict(variables: Dict,
                                      sd: Dict[str, np.ndarray]) -> Dict:
     """Load a full torch ``AttentionStudentSteps`` statedict (reference

@@ -139,6 +139,43 @@ def test_legacy_student_full_statedict_parity(arch):
             rtol=1e-3, atol=5e-4)
 
 
+def test_attention_student_full_statedict_parity():
+    """Full-model parity for AttentionStudent (both heads), covering
+    the det_hi-twice / mid-overwrite forward quirks."""
+    add_reference_to_path()
+    from rtpe.students import AttentionStudent as TorchAttention
+
+    from rtpe_tpu.io.torch_import import import_attention_student_statedict
+    from rtpe_tpu.models import AttentionStudent
+
+    torch.manual_seed(11)
+    tm = TorchAttention(hhrnet_statedict_path=None, device="cpu",
+                        inplanes=48, num_heatmaps=17, ae_dims=1,
+                        half_precision=False,
+                        init_fn=torch.nn.init.kaiming_normal_,
+                        trainable_stem=False)
+    tm.eval()
+    _randomize_bn(tm, 12)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    fm = AttentionStudent(inplanes=48, num_heatmaps=17, ae_dims=1,
+                          dtype=jnp.float32)
+    x_np = np.random.RandomState(13).rand(1, 64, 96, 3).astype(np.float32)
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(x_np),
+                        train=False)
+    variables = import_attention_student_statedict(variables, sd)
+
+    with torch.no_grad():
+        att_t, det_t = tm(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    att_j, det_j = fm.apply(variables, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(
+        np.asarray(att_j).transpose(0, 3, 1, 2), att_t.numpy(),
+        rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(det_j).transpose(0, 3, 1, 2), det_t.numpy(),
+        rtol=1e-3, atol=5e-4)
+
+
 def test_attention_student_real_snapshot_parity():
     add_reference_to_path()
     from rtpe.students import AttentionStudent as TorchAttentionStudent
