@@ -40,16 +40,20 @@ def main():
     import jax.numpy as jnp
 
     from rtpe_tpu.models import PoseHigherHRNet, w48_config
+    from rtpe_tpu.utils.watchdog import CompileWatchdog
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     deadline = time.time() + float(
         os.environ.get("RTPE_BENCH_BUDGET_S", "420"))
+    # guard against first-compile transport stalls (utils/watchdog.py)
+    wd = CompileWatchdog(interval=90.0).start()
 
     model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(
         lambda: model.init(rng, jnp.zeros((1, 64, 64, 3)), train=False))()
+    wd.alive()
 
     @jax.jit
     def loop(v, x):
@@ -83,6 +87,7 @@ def main():
                 t0 = time.time()
                 jax.device_get(loop(variables, x2))
                 times.append(time.time() - t0)
+            wd.alive()
             dt = min(times)
             img_s = bs * SCAN_LEN / dt
             log(f"bs={bs}: {img_s:.1f} img/s "
@@ -116,6 +121,7 @@ def main():
     except Exception as e:  # diagnostics only
         log(f"decode bench skipped: {e}")
 
+    wd.stop()
     result = {
         "metric": "w48_teacher_images_per_sec_per_chip_640_bf16",
         "value": round(best, 2),

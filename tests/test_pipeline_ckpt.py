@@ -161,6 +161,37 @@ def test_profiling_helpers():
     assert mem is None or mem["output_bytes"] >= 128 * 128 * 4
 
 
+def test_compile_watchdog_pokes_on_stall(tmp_path):
+    import sys
+    import time
+
+    from rtpe_tpu.utils.watchdog import compile_watchdog
+
+    marker = tmp_path / "poked"
+    poke = [sys.executable, "-c",
+            f"open({str(marker)!r}, 'w').write('x')"]
+    with compile_watchdog(interval=0.3, max_pokes=2,
+                          poke_argv=poke) as wd:
+        time.sleep(1.2)  # simulate a stalled first compile
+    deadline = time.time() + 5
+    while not marker.exists() and time.time() < deadline:
+        time.sleep(0.1)
+    assert marker.exists()
+    assert 1 <= wd.pokes <= 2
+
+    # progress marks keep it quiet
+    marker2 = tmp_path / "poked2"
+    poke2 = [sys.executable, "-c",
+             f"open({str(marker2)!r}, 'w').write('x')"]
+    with compile_watchdog(interval=0.5, max_pokes=2,
+                          poke_argv=poke2) as wd:
+        for _ in range(4):
+            time.sleep(0.2)
+            wd.alive()
+    assert not marker2.exists()
+    assert wd.pokes == 0
+
+
 def test_nan_debugging_context():
     from rtpe_tpu.utils.debug import assert_all_finite, nan_debugging
 
