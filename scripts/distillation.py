@@ -90,6 +90,8 @@ def main():
     )
     from rtpe_tpu.utils import ColorLogger, make_timestamp, model_summary
 
+    from rtpe_tpu.utils.watchdog import CompileWatchdog
+    wd = CompileWatchdog(interval=120.0).start()
     timestamp = make_timestamp(with_tz_output=False)
     os.makedirs(args.log_dir, exist_ok=True)
     os.makedirs(args.snapshot_dir, exist_ok=True)
@@ -199,6 +201,7 @@ def main():
                     {k: np.asarray(v) for k, v in batch.items()}, mesh)
                 batch["mask"] = batch["mask"]
                 state, metrics = step_fn(state, batch)
+                wd.alive()
                 global_step += 1
                 if global_step % 10 == 0 or global_step < 5:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -38,6 +38,10 @@ def main():
                              "pipeline uses it; legacy/valid_ae1dim.py)")
     parser.add_argument("--scales", type=str, default="1",
                         help="comma-separated multi-scale TTA factors")
+    parser.add_argument("--batch_size", type=int, default=4,
+                        help="images sharing a resize shape are "
+                             "forwarded together (the reference is "
+                             "strictly one image at a time)")
     parser.add_argument("--ae_mode", default="full",
                         choices=["full", "first", "mean"],
                         help="associative-embedding ablations from the "
@@ -62,6 +66,8 @@ def main():
     from rtpe_tpu.ops.resize import resize_bilinear
     from rtpe_tpu.utils import ColorLogger
 
+    from rtpe_tpu.utils.watchdog import CompileWatchdog
+    wd = CompileWatchdog(interval=120.0).start()
     log = ColorLogger(os.path.basename(__file__))
 
     whitelist = read_whitelist(args.whitelist) if args.whitelist else None
@@ -93,38 +99,59 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     n = len(ds) if args.max_images is None else min(len(ds),
                                                     args.max_images)
-    all_preds, all_scores = [], []
+
+    # preprocess on host and bucket by resized shape so images sharing
+    # one shape can be forwarded together (the reference forwards one
+    # image at a time, validate_hhrnet.py:84-93)
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    originals = {}
     for i in range(n):
         sample = ds[i]
         img = sample["img"] * 255.0
-        h, w = img.shape[:2]
         resized, center, scale = resize_align_multi_scale(
             img, args.input_size, 1, 1)
-        x = jnp.asarray(normalize_image(resized / 255.0)[None])
-        if use_tta:
-            hm_base, tag_base = tta_forward(
-                fwd, x, num_joints=17, with_flip=args.flip,
-                scales=scales)
-            hms = resize_bilinear(hm_base, (h, w), align_corners=True)
-            aes = resize_bilinear(tag_base, (h, w), align_corners=True)
-            coarse = refined = None
-        else:
-            coarse, refined = fwd(x)
-            # upsample heatmaps (refined) and AEs (coarse) to image size
-            hms = resize_bilinear(refined.astype(jnp.float32), (h, w),
-                                  align_corners=True)
-            aes = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
-                                  (h, w), align_corners=True)
-        grouped, scores = hm_parser.parse(hms, reduce_ae(aes),
-                                          adjust=True, refine=True)
-        final = [p for p in grouped[0] if p.size > 0]
-        all_preds.append(final)
-        all_scores.append(scores)
-        log.info(f"[{i}/{n}] {sample['img_id']}: {len(final)} people")
-        if args.save_every and i % args.save_every == 0:
-            save_valid_image(
-                img.astype(np.uint8), final,
-                os.path.join(args.save_dir, f"validate_hhrnet_{i}.jpg"))
+        x = normalize_image(resized / 255.0)
+        originals[i] = (img, sample["img_id"])
+        buckets[x.shape].append((i, x))
+        wd.alive()
+
+    all_preds = [None] * n
+    all_scores = [None] * n
+    done = 0
+    for shape, items in buckets.items():
+        bs = 1 if use_tta else max(1, args.batch_size)
+        for s0 in range(0, len(items), bs):
+            chunk = items[s0:s0 + bs]
+            xb = jnp.asarray(np.stack([x for _, x in chunk]))
+            if use_tta:
+                hm_b, tag_b = tta_forward(
+                    fwd, xb, num_joints=17, with_flip=args.flip,
+                    scales=scales)
+            else:
+                coarse, refined = fwd(xb)
+                hm_b = refined[..., :17].astype(jnp.float32)
+                tag_b = coarse[..., 17:].astype(jnp.float32)
+            for k, (i, _) in enumerate(chunk):
+                img, img_id = originals[i]
+                h, w = img.shape[:2]
+                hms = resize_bilinear(hm_b[k:k + 1], (h, w),
+                                      align_corners=True)
+                aes = resize_bilinear(tag_b[k:k + 1], (h, w),
+                                      align_corners=True)
+                grouped, scores = hm_parser.parse(
+                    hms, reduce_ae(aes), adjust=True, refine=True)
+                final = [p for p in grouped[0] if p.size > 0]
+                all_preds[i] = final
+                all_scores[i] = scores
+                done += 1
+                wd.alive()
+                log.info(f"[{done}/{n}] {img_id}: {len(final)} people")
+                if args.save_every and i % args.save_every == 0:
+                    save_valid_image(
+                        img.astype(np.uint8), final,
+                        os.path.join(args.save_dir,
+                                     f"validate_hhrnet_{i}.jpg"))
 
     ds.ids = ds.ids[:n]
     stats = ds.evaluate(all_preds, all_scores)
