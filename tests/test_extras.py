@@ -59,6 +59,30 @@ def test_tta_forward_flip_consistency():
     assert float(jnp.max(hm2)) <= float(jnp.max(img[..., 0])) + 1e-5
 
 
+def test_tta_multiscale_aggregation():
+    """Multi-scale TTA: heatmaps from each scale are resized to the
+    base resolution and averaged; tags come from the primary scale."""
+    from rtpe_tpu.eval.tta import tta_forward
+
+    j = 4
+
+    def apply_fn(batch):
+        # a "model" whose heatmap response is the constant image mean,
+        # so any correct resize+average reproduces that constant
+        b, h, w, _ = batch.shape
+        val = jnp.mean(batch, axis=(1, 2, 3), keepdims=True)
+        coarse = jnp.broadcast_to(val, (b, h // 4, w // 4, 2 * j))
+        refined = jnp.broadcast_to(val, (b, h // 2, w // 2, j))
+        return coarse, refined
+
+    img = jnp.full((1, 64, 64, 3), 0.25)
+    hm, tags = tta_forward(apply_fn, img, num_joints=j, with_flip=False,
+                           scales=(1.0, 2.0))
+    assert hm.shape == (1, 32, 32, j)
+    np.testing.assert_allclose(np.asarray(hm), 0.25, atol=1e-6)
+    assert tags.shape[-1] == j  # primary scale only
+
+
 # -----------------------------------------------------------------------------
 # RSB
 # -----------------------------------------------------------------------------
