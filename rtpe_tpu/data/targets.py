@@ -9,6 +9,12 @@ Two implementations of the reference ``HWHeatmapGenerator``
   (P, J) joint tensor; produces identical values for integer σ (the only
   σ the reference uses: 2.0 and 7.0) because the window condition
   reduces to ``|p - x| <= 3σ + 1`` on the integer grid.
+
+PROVENANCE / LICENSE: :class:`HeatmapGenerator` is a blit-for-blit port
+of the reference's ``HWHeatmapGenerator`` (itself derived from the
+HigherHRNet data loader, Copyright (c) Microsoft, MIT License — see
+``THIRD_PARTY_NOTICES.md``).  It exists SOLELY as the host parity
+oracle for the vectorized device renderer :func:`render_heatmaps`.
 """
 
 from functools import partial

@@ -14,6 +14,15 @@ zero-padding semantics the reference relies on: rectangular matrices are
 padded to square with zeros, every row/col of the square matrix is
 assigned, and all pairs are returned (the caller drops out-of-range
 ones, exactly like the reference's bounds check at ``group.py:81-85``).
+
+PROVENANCE / LICENSE: ``match_by_tag`` below is a deliberate host-side
+transliteration of the HigherHRNet grouping algorithm the reference
+vendors (Copyright (c) Microsoft, MIT License — see
+``THIRD_PARTY_NOTICES.md``; originally by Bin Xiao, modified by Bowen
+Cheng, derived in turn from princeton-vl/pose-ae-train).  It exists
+SOLELY as the bit-exact parity oracle that the genuinely TPU-native
+device implementations (``group_jit.py``, ``fused.py``) are asserted
+against (SURVEY.md §7 hard-part 1); it is not a product component.
 """
 
 import numpy as np

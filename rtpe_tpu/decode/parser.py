@@ -6,6 +6,14 @@ NMS/top-k (jit, batched), host-side grouping, quarter-pixel adjust
 
 Inputs are NHWC jax arrays (or numpy); the reference took NCHW torch
 tensors — callers inside this package always produce NHWC.
+
+PROVENANCE / LICENSE: ``adjust_people`` / ``refine_person`` below are
+host-side transliterations of the HigherHRNet adjust/refine steps the
+reference vendors (Copyright (c) Microsoft, MIT License — see
+``THIRD_PARTY_NOTICES.md``).  Their ±0.25-px and tag-penalized-argmax
+logic cannot differ and still be parity-exact; they are kept SOLELY as
+the parity oracles for the TPU-native device implementations in
+``refine_device.py`` and ``fused.py``.
 """
 
 from typing import List, Tuple
