@@ -1,22 +1,29 @@
 """Benchmark: HigherHRNet-W48 teacher throughput on one TPU chip.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}``
 
 The headline metric matches BASELINE.json: pose images/sec/chip for the
-W48 teacher at 640×640 bf16.  ``vs_baseline`` is the ratio against the
+W48 teacher at 640x640 bf16, measured on the row-packed serving path
+(``models/hrnet_packed.py`` — BN folded, high-res branch and head in the
+half-HBM row-packed layout; parity vs the canonical model is asserted in
+``tests/test_rowpack.py``).  ``vs_baseline`` is the ratio against the
 PyTorch reference baseline estimate of 9.3 img/s — the reference
 publishes no throughput number (BASELINE.md: ``"published": {}``), so
 the estimate is what a HigherHRNet-W48 fp16 640px forward sustains on
 the 8 GB single GPU the author trained on (README.md:36).  The target
 from BASELINE.json is >=10x that baseline.
 
+``extra`` records the other driver-captured numbers (VERDICT.md r1
+items 3-4): the canonical (un-packed) forward, the full dual-optimizer
+distillation train step at the reference's config (bs16 @450,
+``scripts/distillation.py`` defaults), and decode latency/throughput.
+
 Measurement notes: some execution backends cache identical dispatches,
 so each timed run chains N forwards inside one jitted ``lax.scan`` with
 a data dependency between iterations and fresh random inputs, and the
 clock stops on ``device_get`` of the result — there is nothing left to
-fake.  Decode latency p50 (device NMS/top-k + host grouping) goes to
-stderr as a diagnostic.
+fake.
 """
 
 import json
@@ -35,74 +42,158 @@ TORCH_BASELINE_IMG_S = 9.3  # see module docstring
 SCAN_LEN = 5
 
 
+def _scan_throughput(fwd, args0, bs, hw, wd, reps=3, in_ch=3):
+    """Scan-chained, cache-proof img/s for ``fwd(args0, x)``."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(a, x):
+        def body(c, _):
+            outs = fwd(a, c)
+            y = outs[-1] if isinstance(outs, (tuple, list)) else outs
+            c = c + (jnp.mean(y.astype(jnp.float32)) * 1e-9).astype(c.dtype)
+            return c, jnp.sum(y.astype(jnp.float32))
+        _, sums = jax.lax.scan(body, x, None, length=SCAN_LEN)
+        return sums
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (bs, hw, hw, in_ch),
+                          jnp.float32)
+    t0 = time.time()
+    jax.device_get(loop(args0, x))
+    log(f"  compile+first {time.time() - t0:.1f}s")
+    wd.alive()
+    times = []
+    for t in range(reps):
+        x2 = jax.random.normal(jax.random.PRNGKey(61 + t),
+                               (bs, hw, hw, in_ch), jnp.float32)
+        jax.device_get(x2)
+        t0 = time.time()
+        jax.device_get(loop(args0, x2))
+        times.append(time.time() - t0)
+    dt = min(times)
+    return bs * SCAN_LEN / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from rtpe_tpu.models import PoseHigherHRNet, w48_config
+    from rtpe_tpu.models import (
+        PoseHigherHRNet, pack_w48_params, packed_forward, w48_config)
     from rtpe_tpu.utils.watchdog import CompileWatchdog
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     deadline = time.time() + float(
         os.environ.get("RTPE_BENCH_BUDGET_S", "420"))
-    # guard against first-compile transport stalls (utils/watchdog.py)
     wd = CompileWatchdog(interval=90.0).start()
 
-    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
+    cfg = w48_config()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.bfloat16)
     variables = jax.jit(
-        lambda: model.init(rng, jnp.zeros((1, 64, 64, 3)), train=False))()
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False))()
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
     wd.alive()
 
-    @jax.jit
-    def loop(v, x):
-        def body(carry, _):
-            x = carry
-            coarse, refined = model.apply(v, x, train=False)
-            # data dependency serializes iterations without changing x
-            x = x + (jnp.mean(refined.astype(jnp.float32))
-                     * 1e-9).astype(x.dtype)
-            return x, jnp.sum(coarse.astype(jnp.float32))
-        _, sums = jax.lax.scan(body, x, None, length=SCAN_LEN)
-        return sums
+    extra = {}
 
-    best = 0.0
-    best_bs = 0
-    for bs in (8, 16, 32):
+    # --- headline: packed serving forward
+    best, best_bs = 0.0, 0
+    for bs in (32, 16):
         if best > 0 and time.time() > deadline:
-            log(f"bs={bs}: skipped (budget)")
+            log(f"packed bs={bs}: skipped (budget)")
             continue
         try:
-            xw = jax.random.normal(jax.random.PRNGKey(bs),
-                                   (bs, 640, 640, 3), jnp.float32)
-            t0 = time.time()
-            jax.device_get(loop(variables, xw))  # compile + warm
-            log(f"bs={bs}: compile+first {time.time() - t0:.1f}s")
-            times = []
-            for t in range(3):
-                x2 = jax.random.normal(jax.random.PRNGKey(997 * bs + t),
-                                       (bs, 640, 640, 3), jnp.float32)
-                jax.device_get(x2)
-                t0 = time.time()
-                jax.device_get(loop(variables, x2))
-                times.append(time.time() - t0)
-            wd.alive()
-            dt = min(times)
-            img_s = bs * SCAN_LEN / dt
-            log(f"bs={bs}: {img_s:.1f} img/s "
-                f"({dt / SCAN_LEN * 1e3:.1f} ms/batch-fwd)")
+            log(f"packed forward bs={bs}:")
+            img_s = _scan_throughput(
+                lambda a, x: packed_forward(a, x, cfg), pk, bs, 640, wd)
+            log(f"  {img_s:.1f} img/s")
             if img_s > best:
                 best, best_bs = img_s, bs
         except Exception as e:
-            log(f"bs={bs} failed: {str(e)[:120]}")
+            log(f"packed bs={bs} failed: {str(e)[:160]}")
 
-    # decode latency p50 (device NMS/top-k + host grouping), single image
+    # --- extra: canonical (training-surface) forward
     try:
         if time.time() > deadline:
-            raise TimeoutError("budget exhausted")
+            raise TimeoutError("budget")
+        log("canonical forward bs=16:")
+        img_s = _scan_throughput(
+            lambda v, x: model.apply(v, x, train=False), variables, 16,
+            640, wd)
+        log(f"  {img_s:.1f} img/s")
+        extra["canonical_forward_img_s_bs16"] = round(img_s, 1)
+    except Exception as e:
+        log(f"canonical bench skipped: {str(e)[:120]}")
+
+    # --- extra: full distillation train step (reference config bs16@450)
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("budget")
+        from rtpe_tpu.models import AttentionStudentSteps
+        from rtpe_tpu.train import (
+            DistillConfig, DistillTrainState, make_distill_train_step)
+
+        student = AttentionStudentSteps(
+            inplanes=80, num_heatmaps=17, ae_dims=0,
+            detach_att_for_det=True, dtype=jnp.bfloat16)
+        bs, hw = 16, 450  # the reference's training size (even suffices)
+        x0 = jnp.zeros((1, hw, hw, 3))
+        sv = jax.jit(lambda: student.init(
+            jax.random.PRNGKey(0), x0, x0, train=False))()
+        dcfg = DistillConfig()
+        state = DistillTrainState.create(sv, dcfg)
+        step_fn = make_distill_train_step(student, dcfg)
+        rng = np.random.RandomState(0)
+        batch = {
+            "img": rng.rand(bs, hw, hw, 3).astype(np.float32),
+            "img_alt": rng.rand(bs, hw, hw, 3).astype(np.float32),
+            "segm_mask": np.ones((bs, hw, hw, 1), np.float32),
+            "gt_hms": np.zeros((bs, hw, hw, 17), np.float32),
+            "teacher_hms": rng.rand(bs, hw, hw, 17).astype(np.float32),
+            "mask": np.ones((bs, hw, hw, 1), np.float32),
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        @jax.jit
+        def train_loop(state, batch):
+            def body(carry, _):
+                st, b = carry
+                st, metrics = step_fn(st, b)
+                # data dependency: perturb the input with the loss
+                b = dict(b)
+                b["img"] = b["img"] + metrics["keypoints_loss"] * 1e-12
+                return (st, b), metrics["keypoints_loss"]
+            (state, _), losses = jax.lax.scan(
+                body, (state, batch), None, length=SCAN_LEN)
+            return losses
+
+        t0 = time.time()
+        jax.device_get(train_loop(state, batch))
+        log(f"train step: compile+first {time.time() - t0:.1f}s")
+        wd.alive()
+        times = []
+        for t in range(3):
+            b2 = dict(batch)
+            b2["img"] = jnp.asarray(
+                rng.rand(bs, hw, hw, 3).astype(np.float32))
+            jax.device_get(b2["img"])
+            t0 = time.time()
+            jax.device_get(train_loop(state, b2))
+            times.append(time.time() - t0)
+        img_s = bs * SCAN_LEN / min(times)
+        log(f"train step: {img_s:.1f} img/s (bs16 @{hw})")
+        extra["distill_step_img_s_bs16_450"] = round(img_s, 1)
+    except Exception as e:
+        log(f"train bench skipped: {str(e)[:160]}")
+
+    # --- extra: decode latency (device NMS/top-k + host grouping)
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("budget")
         from rtpe_tpu.decode import HeatmapParser
-        import jax.numpy as jnp
         parser = HeatmapParser(num_joints=17, max_num_people=30)
         rng2 = np.random.RandomState(0)
         det = np.clip(rng2.rand(1, 320, 320, 17) * 0.2, 0, 1
@@ -116,17 +207,35 @@ def main():
             t0 = time.time()
             parser.parse(dj, tj)
             times.append(time.time() - t0)
-        log(f"decode p50: {np.median(times) * 1e3:.1f} ms "
-            f"(320x320x17 heatmaps, host-group path)")
-    except Exception as e:  # diagnostics only
-        log(f"decode bench skipped: {e}")
+        p50 = float(np.median(times) * 1e3)
+        log(f"decode p50: {p50:.1f} ms (320x320x17, host-group path)")
+        extra["decode_p50_ms_320"] = round(p50, 1)
+
+        # batched decode throughput (B images per parse call)
+        B = 8
+        detb = np.repeat(det, B, axis=0)
+        tagb = np.repeat(tag, B, axis=0)
+        djb, tjb = jnp.asarray(detb), jnp.asarray(tagb)
+        parser.parse(djb, tjb)
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            parser.parse(djb, tjb)
+            times.append(time.time() - t0)
+        dps = B / min(times)
+        log(f"decode batched: {dps:.1f} img/s (batch={B})")
+        extra["decode_img_s_batch8"] = round(dps, 1)
+    except Exception as e:
+        log(f"decode bench skipped: {str(e)[:120]}")
 
     wd.stop()
     result = {
         "metric": "w48_teacher_images_per_sec_per_chip_640_bf16",
         "value": round(best, 2),
-        "unit": f"img/s (batch={best_bs}, scan-chained, cache-proof)",
+        "unit": f"img/s (batch={best_bs}, packed serving path, "
+                f"scan-chained, cache-proof)",
         "vs_baseline": round(best / TORCH_BASELINE_IMG_S, 2),
+        "extra": extra,
     }
     print(json.dumps(result))
 

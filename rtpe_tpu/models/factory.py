@@ -34,6 +34,27 @@ def get_hrnet_w48_teacher(w48_statedict_path: str = None,
     return model, variables
 
 
+def get_packed_teacher(w48_statedict_path: str = None,
+                       dtype: Any = jnp.bfloat16):
+    """W48 teacher on the row-packed inference fast path.
+
+    :returns: ``(forward, packed_params)`` where
+        ``forward(packed_params, x)`` is jittable and returns the same
+        ``(coarse, refined)`` as the canonical model's apply.
+    """
+    from .hrnet_packed import pack_w48_params, packed_forward
+
+    cfg = w48_config()
+    _, variables = get_hrnet_w48_teacher(w48_statedict_path,
+                                         dtype=jnp.float32)
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg, dtype=dtype))(variables)
+
+    def forward(packed_params, x):
+        return packed_forward(packed_params, x, cfg, dtype=dtype)
+
+    return forward, pk
+
+
 def load_pretrained_stem(student_variables: dict,
                          w48_statedict_path: str) -> dict:
     """Load the teacher's stem weights into a student's ``stem``

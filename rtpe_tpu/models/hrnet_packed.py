@@ -1,0 +1,290 @@
+"""Row-packed inference path for the HigherHRNet-W48 teacher.
+
+The canonical Flax model (``models/hrnet.py``) is the training/parity
+surface; this module is the TPU serving fast path.  It computes the
+*identical function* (same architecture as reference
+``rtpe/third_party/pose_higher_hrnet.py:259-686``) but:
+
+* the high-resolution branch and the deconv head run in the row-packed
+  layout of ``ops/rowpack.py`` — (H, W, 48) -> (H/2, W, 96) — halving
+  physical HBM traffic on the tensors that dominate the forward
+  (48 channels pad to 128 lanes on TPU);
+* inference BatchNorm is folded into the convolution weights once at
+  load time (``pack_w48_params``), so the hot graph is pure
+  conv+bias+relu with bf16 weights (no per-layer f32 scale DMAs).
+
+Use :func:`pack_w48_params` once on the canonical variables (from
+``init`` or the torch importer), then :func:`packed_forward` as the
+jitted forward.  Training keeps the canonical module.
+"""
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rowpack as rp
+from .hrnet import HRNetConfig, w48_config
+
+Dtype = Any
+PackedParams = Dict[str, Tuple[jax.Array, jax.Array]]
+
+
+def _check_cfg(cfg: HRNetConfig) -> None:
+    """The packed path covers the teacher architecture family: BASIC
+    stages whose branch-0 channel count is constant, one cat deconv."""
+    c0 = cfg.stage2.num_channels[0]
+    for scfg in (cfg.stage2, cfg.stage3, cfg.stage4):
+        assert scfg.block == "BASIC", scfg.block
+        assert scfg.num_channels[0] == c0, scfg.num_channels
+    assert cfg.num_deconvs == 1 and cfg.deconv_cat[0], cfg
+    assert cfg.deconv_ksize[0] == 4, cfg.deconv_ksize
+    assert cfg.final_conv_ksize == 1, cfg.final_conv_ksize
+
+
+def pack_w48_params(variables, cfg: HRNetConfig = None,
+                    dtype: Dtype = jnp.bfloat16) -> PackedParams:
+    """Fold BN and pack weights of the canonical variable tree.
+
+    :param variables: ``{"params": ..., "batch_stats": ...}`` of
+        :class:`~rtpe_tpu.models.PoseHigherHRNet` (init or imported).
+    :param dtype: weight dtype of the hot path (biases stay fp32).
+    :returns: flat dict ``name -> (kernel, bias)``.
+    """
+    cfg = cfg or w48_config()
+    _check_cfg(cfg)
+    p, s = variables["params"], variables["batch_stats"]
+    out: PackedParams = {}
+
+    def fold(scope_p, scope_s, conv_name, bn_name):
+        bnp, bns = scope_p[bn_name], scope_s[bn_name]
+        return rp.fold_bn(scope_p[conv_name]["kernel"], bnp["scale"],
+                          bnp["bias"], bns["mean"], bns["var"])
+
+    def put(key, w, b, transform=None, tile_bias=False):
+        if transform is not None:
+            w = transform(w)
+        if tile_bias:
+            b = rp.tile_packed(b)
+        out[key] = (w.astype(dtype), b.astype(jnp.float32))
+
+    # stem
+    put("conv1", *fold(p, s, "conv1", "bn1"))
+    put("conv2", *fold(p, s, "conv2", "bn2"))
+    for i in range(4):
+        pp, ss = p[f"layer1_{i}"], s[f"layer1_{i}"]
+        for c in ("conv1", "conv2", "conv3"):
+            put(f"layer1_{i}/{c}", *fold(pp, ss, c, c.replace("conv", "bn")))
+        if "downsample_conv" in pp:
+            put(f"layer1_{i}/downsample",
+                *fold(pp, ss, "downsample_conv", "downsample_bn"))
+
+    # transitions: branch0 channel-change conv enters the packed domain;
+    # new-branch strided chains stay dense
+    put("transition1_0", *fold(p, s, "transition1_0_conv",
+                               "transition1_0_bn"),
+        transform=rp.pack33_up, tile_bias=True)
+    for t_idx, branch in ((1, 1), (2, 2), (3, 3)):
+        put(f"transition{t_idx}_{branch}_0",
+            *fold(p, s, f"transition{t_idx}_{branch}_0_conv",
+                  f"transition{t_idx}_{branch}_0_bn"))
+
+    # stages
+    def pack_module(pfx, scfg):
+        mp, ms = p[pfx], s[pfx]
+        for i in range(scfg.num_branches):
+            packed = i == 0
+            for j in range(scfg.num_blocks[i]):
+                bp, bs = mp[f"branch{i}_{j}"], ms[f"branch{i}_{j}"]
+                for c in ("conv1", "conv2"):
+                    w, b = rp.fold_bn(
+                        bp[c]["kernel"], bp[c.replace("conv", "bn")]["scale"],
+                        bp[c.replace("conv", "bn")]["bias"],
+                        bs[c.replace("conv", "bn")]["mean"],
+                        bs[c.replace("conv", "bn")]["var"])
+                    put(f"{pfx}/branch{i}_{j}/{c}", w, b,
+                        transform=rp.pack33_pp if packed else None,
+                        tile_bias=packed)
+        for i in range(scfg.num_branches):  # absent fuse rows are skipped
+            for j in range(scfg.num_branches):
+                if j == i:
+                    continue
+                if j > i:
+                    name = f"fuse{i}_{j}"
+                    if f"{name}_conv" not in mp:
+                        continue
+                    w, b = fold(mp, ms, f"{name}_conv", f"{name}_bn")
+                    packed_out = i == 0
+                    factor = 2 ** (j - i)
+                    put(f"{pfx}/{name}", w, b,
+                        transform=lambda w_, f_=factor, p_=packed_out:
+                        rp.pack_fuse_up(w_, f_, p_),
+                        tile_bias=packed_out)
+                else:
+                    for k in range(i - j):
+                        name = f"fuse{i}_{j}_{k}"
+                        if f"{name}_conv" not in mp:
+                            continue
+                        w, b = fold(mp, ms, f"{name}_conv", f"{name}_bn")
+                        first_from_packed = j == 0 and k == 0
+                        put(f"{pfx}/{name}", w, b,
+                            transform=rp.pack33s2_pu if first_from_packed
+                            else None)
+
+    for s_idx, scfg in ((2, cfg.stage2), (3, cfg.stage3), (4, cfg.stage4)):
+        for m in range(scfg.num_modules):
+            pack_module(f"stage{s_idx}_{m}", scfg)
+
+    # heads
+    nj, ae = cfg.num_joints, cfg.ae_dims
+    put("final_0", p["final_0"]["kernel"], p["final_0"]["bias"],
+        transform=rp.pack11_pp, tile_bias=True)
+    c0 = cfg.stage2.num_channels[0]
+    out0_ch = nj + (ae if cfg.with_ae_loss[0] else 0)
+    wt, bt = rp.fold_bn(
+        p["deconv0_tconv"]["kernel"], p["deconv0_bn"]["scale"],
+        p["deconv0_bn"]["bias"], s["deconv0_bn"]["mean"],
+        s["deconv0_bn"]["var"])
+    put("deconv0_tconv", wt, bt,
+        transform=lambda w: rp.pack_tconv4x4s2_pp(w, (c0, out0_ch)),
+        tile_bias=True)
+    for b_ in range(cfg.deconv_num_blocks):
+        bp, bs = p[f"deconv0_block{b_}"], s[f"deconv0_block{b_}"]
+        for c in ("conv1", "conv2"):
+            w, bb = rp.fold_bn(
+                bp[c]["kernel"], bp[c.replace("conv", "bn")]["scale"],
+                bp[c.replace("conv", "bn")]["bias"],
+                bs[c.replace("conv", "bn")]["mean"],
+                bs[c.replace("conv", "bn")]["var"])
+            put(f"deconv0_block{b_}/{c}", w, bb,
+                transform=rp.pack33_pp, tile_bias=True)
+    put("final_1", p["final_1"]["kernel"], p["final_1"]["bias"],
+        transform=rp.pack11_pp, tile_bias=True)
+    return out
+
+
+# ---------------------------------------------------------------- forward
+
+def _conv(x, wb, stride=1, pad=None):
+    """Dense folded conv; f32 accumulate + bias, caller casts."""
+    w, b = wb
+    kh, kw = w.shape[0], w.shape[1]
+    if pad is None:
+        pad = (kh - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def _conv_pp(x, wb, **kw):
+    w, b = wb
+    return rp.conv_pp(x, w, b, **kw)
+
+
+def _basic_block(pk, name, x, dtype, packed):
+    # all adds in the model dtype: the bf16 analog of the reference's
+    # full-fp16 residual/fuse arithmetic (fp16util network_to_half)
+    cv = _conv_pp if packed else _conv
+    out = jax.nn.relu(cv(x, pk[f"{name}/conv1"])).astype(dtype)
+    out = cv(out, pk[f"{name}/conv2"]).astype(dtype)
+    return jax.nn.relu(out + x)
+
+
+def _bottleneck(pk, name, x, dtype):
+    out = jax.nn.relu(_conv(x, pk[f"{name}/conv1"])).astype(dtype)
+    out = jax.nn.relu(_conv(out, pk[f"{name}/conv2"])).astype(dtype)
+    out = _conv(out, pk[f"{name}/conv3"]).astype(dtype)
+    if f"{name}/downsample" in pk:
+        residual = _conv(x, pk[f"{name}/downsample"]).astype(dtype)
+    else:
+        residual = x
+    return jax.nn.relu(out + residual)
+
+
+def _module(pk, pfx, scfg, xs, mso, dtype):
+    nb = scfg.num_branches
+    ys: List[jax.Array] = []
+    for i in range(nb):
+        x = xs[i]
+        for j in range(scfg.num_blocks[i]):
+            x = _basic_block(pk, f"{pfx}/branch{i}_{j}", x, dtype,
+                             packed=i == 0)
+        ys.append(x)
+    if nb == 1:
+        return ys
+    num_out = nb if mso else 1
+    fused = []
+    for i in range(num_out):
+        acc = None
+        for j in range(nb):
+            if j == i:
+                y = ys[j]
+            elif j > i:
+                # 1x1 conv + nearest upsample as one repeat-tconv kernel
+                wb = pk[f"{pfx}/fuse{i}_{j}"]
+                y = rp.apply_fuse_up(ys[j], wb[0], wb[1]).astype(dtype)
+            else:
+                y = ys[j]
+                for k in range(i - j):
+                    last = k == i - j - 1
+                    wb = pk[f"{pfx}/fuse{i}_{j}_{k}"]
+                    if j == 0 and k == 0:
+                        y = rp.conv_pu(y, wb[0], wb[1])
+                    else:
+                        y = _conv(y, wb, stride=2)
+                    y = y.astype(dtype)
+                    if not last:
+                        y = jax.nn.relu(y)
+            acc = y if acc is None else acc + y
+        fused.append(jax.nn.relu(acc))
+    return fused
+
+
+def packed_forward(pk: PackedParams, x: jax.Array,
+                   cfg: HRNetConfig = None,
+                   dtype: Dtype = jnp.bfloat16
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Inference forward, same outputs as the canonical model's
+    ``apply(variables, x, train=False)``: ``(coarse, refined)``."""
+    cfg = cfg or w48_config()
+    _check_cfg(cfg)
+    x = x.astype(dtype)
+
+    # stem
+    x = jax.nn.relu(_conv(x, pk["conv1"], stride=2)).astype(dtype)
+    x = jax.nn.relu(_conv(x, pk["conv2"], stride=2)).astype(dtype)
+    for i in range(4):
+        x = _bottleneck(pk, f"layer1_{i}", x, dtype)
+
+    # transition 1: branch0 enters the packed-rows domain
+    x0 = jax.nn.relu(
+        rp.conv_up(x, *pk["transition1_0"])).astype(dtype)
+    x1 = jax.nn.relu(_conv(x, pk["transition1_1_0"], stride=2)
+                     ).astype(dtype)
+    xs = [x0, x1]
+    for m in range(cfg.stage2.num_modules):
+        xs = _module(pk, f"stage2_{m}", cfg.stage2, xs, True, dtype)
+
+    xs.append(jax.nn.relu(_conv(xs[-1], pk["transition2_2_0"], stride=2)
+                          ).astype(dtype))
+    for m in range(cfg.stage3.num_modules):
+        xs = _module(pk, f"stage3_{m}", cfg.stage3, xs, True, dtype)
+
+    xs.append(jax.nn.relu(_conv(xs[-1], pk["transition3_3_0"], stride=2)
+                          ).astype(dtype))
+    for m in range(cfg.stage4.num_modules):
+        mso = m < cfg.stage4.num_modules - 1
+        xs = _module(pk, f"stage4_{m}", cfg.stage4, xs, mso, dtype)
+
+    # heads (all packed; unpack only the outputs)
+    x0 = xs[0]
+    y0 = _conv_pp(x0, pk["final_0"]).astype(dtype)
+    xh = jnp.concatenate([x0, y0], axis=-1)
+    w, b = pk["deconv0_tconv"]
+    xh = jax.nn.relu(rp.tconv_pp(xh, w, b)).astype(dtype)
+    for b_ in range(cfg.deconv_num_blocks):
+        xh = _basic_block(pk, f"deconv0_block{b_}", xh, dtype, packed=True)
+    y1 = _conv_pp(xh, pk["final_1"]).astype(dtype)
+    return rp.d2s_rows(y0), rp.d2s_rows(y1)

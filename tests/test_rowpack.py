@@ -1,0 +1,185 @@
+"""Row-packed execution transform: op-level exactness + full-model parity.
+
+The rowpack transforms (``ops/rowpack.py``) re-index weights so a
+convolution on the (H/2, W, 2C) row-packed layout computes the identical
+function as the canonical NHWC conv; these tests assert that exactness
+op-by-op, then end-to-end on the W48 teacher against the canonical Flax
+model (``models/hrnet.py``) with folded BatchNorm.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpe_tpu.ops import rowpack as rp
+
+
+def _conv(x, w, s, p):
+    return jax.lax.conv_general_dilated(
+        x, w, s, p, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    np.testing.assert_allclose(rp.d2s_rows(rp.s2d_rows(x)), x)
+
+
+def test_pack33_pp(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    want = _conv(x, w, (1, 1), ((1, 1), (1, 1)))
+    got = rp.d2s_rows(rp.conv_pp(rp.s2d_rows(x), rp.pack33_pp(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pack33_up(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    want = _conv(x, w, (1, 1), ((1, 1), (1, 1)))
+    got = rp.d2s_rows(rp.conv_up(x, rp.pack33_up(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pack33s2_pu(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    want = _conv(x, w, (2, 2), ((1, 1), (1, 1)))
+    got = rp.conv_pu(rp.s2d_rows(x), rp.pack33s2_pu(w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pack11_pp_with_bias(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 5, 4).astype(np.float32))
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    want = _conv(x, w, (1, 1), ((0, 0), (0, 0))) + b
+    got = rp.d2s_rows(
+        rp.conv_pp(rp.s2d_rows(x), rp.pack11_pp(w), rp.tile_packed(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _tconv_ref(x, w):
+    """TorchConvTranspose math (k=4, s=2, p=1), see models/layers.py."""
+    k = jnp.flip(w, axis=(0, 1))
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_pack_tconv(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 5, 6).astype(np.float32))
+    want = _tconv_ref(x, w)
+    got = rp.d2s_rows(
+        rp.tconv_pp(rp.s2d_rows(x), rp.pack_tconv4x4s2_pp(w, (5,))))
+    assert want.shape == (2, 16, 12, 6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pack_tconv_split_inputs(rng):
+    """The deconv head input is cat(x, heatmaps) of two separately
+    packed tensors; the weight transform absorbs the interleave."""
+    xa = jnp.asarray(rng.randn(2, 8, 6, 3).astype(np.float32))
+    xb = jnp.asarray(rng.randn(2, 8, 6, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 5, 6).astype(np.float32))
+    want = _tconv_ref(jnp.concatenate([xa, xb], -1), w)
+    xin = jnp.concatenate([rp.s2d_rows(xa), rp.s2d_rows(xb)], -1)
+    got = rp.d2s_rows(rp.tconv_pp(xin, rp.pack_tconv4x4s2_pp(w, (3, 2))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("factor", [2, 4, 8])
+@pytest.mark.parametrize("packed_out", [True, False])
+def test_fuse_up(rng, factor, packed_out):
+    """1x1 conv + nearest upsample as one repeat-tconv kernel."""
+    from rtpe_tpu.ops.resize import upsample_nearest
+    x = jnp.asarray(rng.randn(2, 4, 3, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 5, 4).astype(np.float32))
+    want = upsample_nearest(_conv(x, w, (1, 1), ((0, 0), (0, 0))), factor)
+    got = rp.apply_fuse_up(x, rp.pack_fuse_up(w, factor, packed_out))
+    if packed_out:
+        got = rp.d2s_rows(got)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_into_packed(rng):
+    from rtpe_tpu.ops.resize import upsample_nearest
+    y = jnp.asarray(rng.randn(2, 4, 3, 5).astype(np.float32))
+    for f in (2, 4):
+        np.testing.assert_allclose(
+            rp.upsample_into_packed(y, f),
+            rp.s2d_rows(upsample_nearest(y, f)))
+
+
+def test_fold_bn(rng):
+    x = jnp.asarray(rng.randn(2, 8, 6, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    scale = jnp.asarray(rng.rand(7).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(7).astype(np.float32))
+    mean = jnp.asarray(rng.randn(7).astype(np.float32))
+    var = jnp.asarray(rng.rand(7).astype(np.float32) + 0.5)
+    y = _conv(x, w, (1, 1), ((1, 1), (1, 1)))
+    want = (y - mean) * scale / jnp.sqrt(var + 1e-5) + bias
+    wf, bf = rp.fold_bn(w, scale, bias, mean, var)
+    got = _conv(x, wf, (1, 1), ((1, 1), (1, 1))) + bf
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w48_packed_forward_parity(rng):
+    """Full-model: packed fp32 forward == canonical apply (fp32 noise).
+
+    BN running stats are randomized so the folding is non-trivial.
+    """
+    import flax
+
+    from rtpe_tpu.models import PoseHigherHRNet, w48_config
+    from rtpe_tpu.models.hrnet_packed import (
+        pack_w48_params, packed_forward)
+
+    cfg = w48_config()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    v = model.init(key, jnp.zeros((1, 64, 64, 3)), train=False)
+    flat = flax.traverse_util.flatten_dict(v["batch_stats"])
+    new = {}
+    for kk, val in flat.items():
+        key, sub = jax.random.split(key)
+        new[kk] = (jax.random.normal(sub, val.shape) * 0.1
+                   if kk[-1] == "mean"
+                   else jnp.abs(jax.random.normal(sub, val.shape)) * 0.5
+                   + 0.5)
+    v = dict(v)
+    v["batch_stats"] = flax.traverse_util.unflatten_dict(new)
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 96, 96, 3))
+    coarse, refined = model.apply(v, x, train=False)
+    pk = pack_w48_params(v, cfg, dtype=jnp.float32)
+    pc, pr = packed_forward(pk, x, cfg, dtype=jnp.float32)
+    assert pc.shape == coarse.shape and pr.shape == refined.shape
+    for a, b in ((coarse, pc), (refined, pr)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert rel < 1e-4, rel
+
+
+def test_packed_predictor_smoke(rng):
+    """PosePredictor(packed=True) runs end-to-end and agrees with the
+    canonical predictor on the same random teacher."""
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import PoseHigherHRNet, w48_config
+
+    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+    pred = PosePredictor(model, v, input_size=96, packed=True)
+    people, scores = pred.predict(img)
+    assert isinstance(people, list) and isinstance(scores, list)
