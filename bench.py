@@ -189,42 +189,58 @@ def main():
     except Exception as e:
         log(f"train bench skipped: {str(e)[:160]}")
 
-    # --- extra: decode latency (device NMS/top-k + host grouping)
+    # --- extra: decode (production parse_batch: top-k+adjust dispatch,
+    # fast host grouping, filtered batched device refine).  Note the
+    # tunnel in this environment has a ~30 ms fixed round trip per
+    # dispatch (a trivial jit+device_get costs that much), which floors
+    # any single-image blocking latency; the batched amortized number is
+    # the honest per-image decode cost.
     try:
         if time.time() > deadline:
             raise TimeoutError("budget")
         from rtpe_tpu.decode import HeatmapParser
         parser = HeatmapParser(num_joints=17, max_num_people=30)
         rng2 = np.random.RandomState(0)
+
+        # single sparse image (round-1-comparable number)
         det = np.clip(rng2.rand(1, 320, 320, 17) * 0.2, 0, 1
                       ).astype(np.float32)
         det[0, 100:103, 100:103, :] = 1.0
         tag = np.zeros((1, 320, 320, 17), np.float32)
         dj, tj = jnp.asarray(det), jnp.asarray(tag)
-        parser.parse(dj, tj)  # compile
+        parser.parse_batch(dj, tj)  # compile
         times = []
         for _ in range(10):
             t0 = time.time()
-            parser.parse(dj, tj)
+            parser.parse_batch(dj, tj)
             times.append(time.time() - t0)
         p50 = float(np.median(times) * 1e3)
-        log(f"decode p50: {p50:.1f} ms (320x320x17, host-group path)")
+        log(f"decode p50: {p50:.1f} ms (320x320x17, single image, "
+            f"incl ~30 ms tunnel round trip)")
         extra["decode_p50_ms_320"] = round(p50, 1)
 
-        # batched decode throughput (B images per parse call)
+        # batched crowded decode: 8 images x ~30 people
         B = 8
-        detb = np.repeat(det, B, axis=0)
-        tagb = np.repeat(tag, B, axis=0)
+        detb = np.clip(rng2.rand(B, 320, 320, 17) * 0.2, 0, 1
+                       ).astype(np.float32)
+        for b in range(B):
+            for _ in range(6):
+                i, j = rng2.randint(5, 310, 2)
+                detb[b, i:i + 3, j:j + 3, :] = rng2.rand() * 0.5 + 0.5
+        tagb = (rng2.randn(B, 320, 320, 17) * 0.1).astype(np.float32)
         djb, tjb = jnp.asarray(detb), jnp.asarray(tagb)
-        parser.parse(djb, tjb)
+        ansb, _ = parser.parse_batch(djb, tjb)
         times = []
         for _ in range(5):
             t0 = time.time()
-            parser.parse(djb, tjb)
+            parser.parse_batch(djb, tjb)
             times.append(time.time() - t0)
-        dps = B / min(times)
-        log(f"decode batched: {dps:.1f} img/s (batch={B})")
-        extra["decode_img_s_batch8"] = round(dps, 1)
+        dt = min(times)
+        log(f"decode batched: {B / dt:.1f} img/s "
+            f"({dt / B * 1e3:.1f} ms/img, batch={B}, "
+            f"{len(ansb[0])} people/img)")
+        extra["decode_img_s_batch8_crowded"] = round(B / dt, 1)
+        extra["decode_ms_per_img_batch8_crowded"] = round(dt / B * 1e3, 1)
     except Exception as e:
         log(f"decode bench skipped: {str(e)[:120]}")
 

@@ -90,3 +90,48 @@ def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
         tagj = jnp.broadcast_to(tagj, (b, j, h * w, d))
     tag_k = jnp.take_along_axis(tagj, ind[..., None], axis=2)
     return val_k, loc_k, tag_k
+
+
+def adjust_locs(det: jax.Array, loc_k: jax.Array) -> jax.Array:
+    """Quarter-pixel adjust of candidate peak locations, on device.
+
+    The reference adjusts AFTER grouping (``group.py:181-200``), but the
+    adjustment of a detection depends only on its own location and the
+    heatmap — grouping never moves coordinates — so adjusting every
+    top-k candidate here, inside the same dispatch as the top-k, yields
+    bit-identical people while saving the separate adjust pass.
+
+    :param det: (B, H, W, J) fp32 heatmaps.
+    :param loc_k: (B, J, K, 2) int32 x, y peak locations.
+    :returns: (B, J, K, 2) float32 adjusted x, y (+-0.25 then +0.5).
+    """
+    det = det.astype(jnp.float32)
+    b, h, w, j = det.shape
+    xi, yi = loc_k[..., 0], loc_k[..., 1]           # (B, J, K)
+    bb = jnp.arange(b)[:, None, None]
+    jj = jnp.arange(j)[None, :, None]
+
+    def read(yy, xx):
+        return det[bb, jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1), jj]
+
+    right = read(yi, jnp.minimum(xi + 1, w - 1))
+    left = read(yi, jnp.maximum(xi - 1, 0))
+    down = read(jnp.minimum(yi + 1, h - 1), xi)
+    up = read(jnp.maximum(yi - 1, 0), xi)
+    fx = jnp.where(right > left, xi + 0.25, xi - 0.25) + 0.5
+    fy = jnp.where(down > up, yi + 0.25, yi - 0.25) + 0.5
+    return jnp.stack([fx, fy], axis=-1).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_people", "ksize", "padding",
+                                   "tag_per_joint", "use_pallas"))
+def top_k_adjusted(det: jax.Array, tag: jax.Array, max_people: int = 30,
+                   ksize: int = 5, padding: int = 2,
+                   tag_per_joint: bool = True,
+                   use_pallas: bool = False):
+    """:func:`top_k` + :func:`adjust_locs` as ONE device program; the
+    returned ``loc_k`` is float32 adjusted coordinates (they flow
+    through grouping untouched)."""
+    val_k, loc_k, tag_k = top_k(det, tag, max_people, ksize, padding,
+                                tag_per_joint, use_pallas=use_pallas)
+    return val_k, adjust_locs(det, loc_k), tag_k

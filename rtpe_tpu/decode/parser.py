@@ -21,7 +21,7 @@ from typing import List, Tuple
 import numpy as np
 
 from .group import GroupingParams, match_by_tag
-from .nms import top_k
+from .nms import top_k, top_k_adjusted
 
 
 def adjust_people(people: np.ndarray, det_hw_j: np.ndarray) -> np.ndarray:
@@ -182,6 +182,79 @@ class HeatmapParser:
                 people[i] = refine_person(det_np[0], tag_img, people[i])
             ans = [people]
 
+        return ans, scores
+
+    def parse_batch(self, det, tag, adjust: bool = True,
+                    refine: bool = True, fast: bool = True
+                    ) -> Tuple[List[List[np.ndarray]], List[List[float]]]:
+        """Production batched decode: at most two device dispatches.
+
+        Per-candidate quarter-pixel adjust runs inside the top-k
+        dispatch (``nms.adjust_locs`` — exact, since grouping never
+        moves coordinates), grouping runs on host per image
+        (array-based ``match_by_tag_fast`` unless ``fast=False``), and
+        the tag-guided refine batches ONLY the people that actually
+        have missing joints into one device program
+        (``refine_device.refine_batch_device``); images of complete
+        people skip the second dispatch entirely.  Results equal
+        :meth:`parse` with the host/oracle path per image (up to the
+        ulp-level mean caveat in ``group_fast``).
+
+        :param det: (B, H, W, J) heatmaps; tag (B, H, W, J*D or D).
+        :returns: ``(people, scores)`` — per image: list of (J, 3+D)
+          person arrays, list of per-person scores.
+        """
+        import jax
+
+        from .group_fast import match_by_tag_fast
+
+        use_pallas = jax.devices()[0].platform == "tpu"
+        fn = top_k_adjusted if adjust else top_k
+        val_k, loc_k, tag_k = jax.device_get(fn(
+            det, tag, self.params.max_num_people, self.nms_ksize,
+            self.nms_padding, self.tag_per_joint, use_pallas=use_pallas))
+        matcher = match_by_tag_fast if fast else match_by_tag
+        ans = [matcher(t, l, v, self.params)
+               for t, l, v in zip(tag_k, loc_k, val_k)]
+        scores = [[float(p[:, 2].mean()) for p in people]
+                  for people in ans]
+        ans = [list(a) for a in ans]
+
+        if refine:
+            # (image, person) indices that actually need refinement
+            needy = [(i, k) for i, people in enumerate(ans)
+                     for k, p in enumerate(people)
+                     if (p[:, 2] == 0).any()]
+            if needy:
+                import jax.numpy as jnp
+
+                b = len(ans)
+                j = self.params.num_joints
+                d = tag_k.shape[-1]
+                per_img = [[] for _ in range(b)]
+                for i, k in needy:
+                    per_img[i].append(k)
+                # bucket the per-image people dim to bound recompiles
+                max_p = max(len(ks) for ks in per_img)
+                p_pad = ((max_p + 14) // 15) * 15
+                padded = np.zeros((b, p_pad, j, 3 + d), np.float32)
+                for i, ks in enumerate(per_img):
+                    for slot, k in enumerate(ks):
+                        padded[i, slot] = ans[i][k]
+                det_j = jnp.asarray(det)
+                tag_j = jnp.asarray(tag)
+                h, w = det_j.shape[1:3]
+                if self.tag_per_joint:
+                    tag_img = tag_j.reshape(b, h, w, j, d)
+                else:
+                    tag_img = jnp.broadcast_to(
+                        tag_j[:, :, :, None, :], (b, h, w, j, d))
+                from .refine_device import refine_batch_device
+                refined = np.asarray(refine_batch_device(
+                    det_j, tag_img, jnp.asarray(padded)))
+                for i, ks in enumerate(per_img):
+                    for slot, k in enumerate(ks):
+                        ans[i][k] = refined[i, slot]
         return ans, scores
 
     def parse_fused(self, det, tag):

@@ -59,7 +59,16 @@ def adjust_refine_device(det: jax.Array, tag: jax.Array,
     people = jax.vmap(adjust_person)(people)
     scores = jnp.mean(people[:, :, 2], axis=1)
 
-    # ------------------------------------------------------------------
+    # sequential over people bounds the (J, H, W) temporaries
+    people = jax.lax.map(_make_refine_person(det, tag), people)
+    return people, scores
+
+
+def _make_refine_person(det: jax.Array, tag: jax.Array):
+    """Per-person tag-guided refine closure over one image's (H, W, J)
+    det and (H, W, J, D) tag (reference ``group.py:202-264``)."""
+    h, w, j = det.shape
+
     def refine_person(person):
         vis = person[:, 2] > 0
         n_vis = jnp.sum(vis.astype(jnp.int32))
@@ -94,6 +103,24 @@ def adjust_refine_device(det: jax.Array, tag: jax.Array,
         person = person.at[:, 2].set(jnp.where(fill, val, person[:, 2]))
         return person
 
-    # sequential over people bounds the (J, H, W) temporaries
-    people = jax.lax.map(refine_person, people)
-    return people, scores
+    return refine_person
+
+
+@jax.jit
+def refine_batch_device(det: jax.Array, tag: jax.Array,
+                        people: jax.Array) -> jax.Array:
+    """Tag-guided refine of a whole batch in ONE device program.
+
+    :param det: (B, H, W, J) fp32 heatmaps.
+    :param tag: (B, H, W, J, D) tag maps.
+    :param people: (B, P, J, 3 + D) grouped (already adjusted) people,
+      zero-padded along P (padded rows are inert: no visible joint).
+    :returns: refined people, same shape.
+    """
+    det = det.astype(jnp.float32)
+    tag = tag.astype(jnp.float32)
+
+    def one_image(det1, tag1, people1):
+        return jax.lax.map(_make_refine_person(det1, tag1), people1)
+
+    return jax.vmap(one_image)(det, tag, people)

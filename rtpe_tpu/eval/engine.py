@@ -36,12 +36,12 @@ def eval_student(apply_fn: Callable, hm_parser, dataset,
         pred = np.asarray(pred, dtype=np.float32)
         pred_hms = pred[..., :num_heatmaps]
         pred_ae = pred[..., num_heatmaps:]
-        grouped, scores = hm_parser.parse(
+        grouped, scores = hm_parser.parse_batch(
             jnp.asarray(pred_hms), jnp.asarray(pred_ae),
             adjust=True, refine=True)
         final_results = [x for x in grouped[0] if x.size > 0]
         all_preds.append(final_results)
-        all_scores.append(scores)
+        all_scores.append(scores[0])
         if logger is not None:
             logger.info(f"eval: {batch_i} ({len(final_results)} people)")
         if save_every is not None and batch_i % save_every == 0:

@@ -79,8 +79,9 @@ class PosePredictor:
             tags = resize_bilinear(tags, hms.shape[1:3],
                                    align_corners=True)
 
-        grouped, scores = self.parser.parse(hms, tags, adjust=True,
-                                            refine=True)
+        grouped, scores = self.parser.parse_batch(hms, tags, adjust=True,
+                                                  refine=True)
+        scores = scores[0]
         people = [p for p in grouped[0] if np.asarray(p).size > 0]
         # map heatmap coords back to the original image
         hm_h, hm_w = int(hms.shape[1]), int(hms.shape[2])

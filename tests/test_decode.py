@@ -192,3 +192,64 @@ def test_munkres_assign_rectangular_semantics():
         w_cost = sum(cost[r, c] for r, c in want)
         g_cost = sum(cost[r, c] for r, c in got)
         assert g_cost == pytest.approx(w_cost)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_fast_match_equals_oracle(seed):
+    """Array-based production grouping == the quarantined oracle,
+    including crowded scenes that exceed max_num_people."""
+    from rtpe_tpu.decode.group import match_by_tag
+    from rtpe_tpu.decode.group_fast import match_by_tag_fast
+
+    rng = np.random.RandomState(seed)
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+    det = np.clip(rng.rand(1, 96, 96, 17) * 0.2, 0, 1).astype(np.float32)
+    for _ in range(8):
+        i, j = rng.randint(3, 92, 2)
+        det[0, i:i + 3, j:j + 3, :] = rng.rand() * 0.5 + 0.5
+    tag = (rng.randn(1, 96, 96, 17) * 0.3).astype(np.float32)
+    vk, lk, tk = parser.top_k(jnp.asarray(det), jnp.asarray(tag))
+    want = match_by_tag(tk[0], lk[0], vk[0], parser.params)
+    got = match_by_tag_fast(tk[0], lk[0], vk[0], parser.params)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_parse_batch_equals_oracle_parse(seed):
+    """parse_batch (adjust-in-topk + fast match + filtered batched
+    device refine) == per-image oracle parse."""
+    rng = np.random.RandomState(seed)
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+    B = 3
+    det = np.clip(rng.rand(B, 64, 64, 17) * 0.2, 0, 1).astype(np.float32)
+    for b in range(B):
+        for _ in range(5):
+            i, j = rng.randint(3, 60, 2)
+            det[b, i:i + 3, j:j + 3, :] = rng.rand() * 0.5 + 0.5
+    tag = (rng.randn(B, 64, 64, 17) * 0.5).astype(np.float32)
+    dj, tj = jnp.asarray(det), jnp.asarray(tag)
+    batch_ans, batch_scores = parser.parse_batch(dj, tj)
+    for b in range(B):
+        ans, scores = parser.parse(dj[b:b + 1], tj[b:b + 1], adjust=True,
+                                   refine=True, on_device=False)
+        assert len(ans[0]) == len(batch_ans[b])
+        for rp, gp in zip(ans[0], batch_ans[b]):
+            np.testing.assert_allclose(gp, rp, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(batch_scores[b], scores, rtol=1e-6)
+
+
+def test_parse_batch_no_refine_needed_skips_device():
+    """Images whose people are complete skip the refine dispatch but
+    still return adjusted coordinates."""
+    rng = np.random.RandomState(0)
+    parser = HeatmapParser(num_joints=3, max_num_people=5)
+    det = np.zeros((1, 32, 32, 3), np.float32)
+    det[0, 10:13, 10:13, :] = 1.0  # all joints present at one spot
+    tag = np.zeros((1, 32, 32, 3), np.float32)
+    ans, scores = parser.parse_batch(jnp.asarray(det), jnp.asarray(tag))
+    assert len(ans[0]) == 1
+    person = ans[0][0]
+    assert (person[:, 2] > 0).all()
+    # quarter-pixel adjusted coordinates are fractional
+    assert np.all(np.abs((person[:, 0] % 1) - 0.75) < 1e-6) or \
+        np.all(np.abs((person[:, 0] % 1) - 0.25) < 1e-6)
