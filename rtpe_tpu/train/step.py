@@ -111,7 +111,8 @@ def att_divisor_at(step, cfg: DistillConfig):
         -cfg.att_div_decay * step.astype(jnp.float32))
 
 
-def make_distill_train_step(model, cfg: DistillConfig):
+def make_distill_train_step(model, cfg: DistillConfig,
+                            grad_accum: int = 1):
     """Build the jitted train step.
 
     ``batch`` dict (NHWC, fixed shapes): ``img`` (B,H,W,3) normalized,
@@ -119,43 +120,77 @@ def make_distill_train_step(model, cfg: DistillConfig):
     (B,H,W,17), ``teacher_hms`` (B,H,W,17), ``mask`` (B,H,W,1).
     Targets are resized to the prediction resolution inside the step
     (reference ``distillation.py:315-324``).
+
+    :param grad_accum: with N > 1 the batch is split into N equal
+      microbatches scanned sequentially; gradients are averaged (exactly
+      the mean of the per-microbatch gradients — asserted in
+      ``tests/test_train.py``) and ONE optimizer update is applied, so a
+      bs-B/N pipeline trains at an effective batch of B.  BatchNorm
+      batch statistics are per-microbatch (the standard accumulation
+      semantics; a full-batch step normalizes over all B at once).
     """
     tx, att_sched, det_sched = make_distill_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, step, batch):
+        (att, det), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"], batch["img_alt"],
+            att_divisor=att_divisor_at(step, cfg),
+            train=True, mutable=["batch_stats"])
+        att_hw = att.shape[1:3]
+        det_hw = det.shape[1:3]
+        segm = resize_bilinear(batch["segm_mask"], att_hw,
+                               align_corners=False)
+        gt = resize_bilinear(batch["gt_hms"], det_hw,
+                             align_corners=False)
+        teacher = resize_bilinear(batch["teacher_hms"], det_hw,
+                                  align_corners=False)
+        mask = resize_bilinear(batch["mask"], det_hw,
+                               align_corners=False)
+        mask = jnp.broadcast_to(mask, gt.shape)
+        # quirk preserved: the reference feeds the *sigmoided*
+        # attention map to BCEWithLogits (distillation.py:201-202,326)
+        seg_loss = bce_with_logits(att, segm, cfg.att_pos_weight)
+        det_loss = distillation_bce_loss_keypoint_mining(
+            det, teacher, gt,
+            alpha=cfg.distillation_alpha, mask=mask,
+            background_factor=cfg.background_factor,
+            teacher_pos_weight=cfg.det_pos_weight,
+            gt_pos_weight=cfg.det_pos_weight)
+        total = seg_loss + det_loss
+        return total, (seg_loss, det_loss, mut["batch_stats"])
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
 
     @jax.jit
     def train_step(state: DistillTrainState, batch: Dict
                    ) -> Tuple[DistillTrainState, Dict]:
-        def loss_fn(params):
-            (att, det), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"], batch["img_alt"],
-                att_divisor=att_divisor_at(state.step, cfg),
-                train=True, mutable=["batch_stats"])
-            att_hw = att.shape[1:3]
-            det_hw = det.shape[1:3]
-            segm = resize_bilinear(batch["segm_mask"], att_hw,
-                                   align_corners=False)
-            gt = resize_bilinear(batch["gt_hms"], det_hw,
-                                 align_corners=False)
-            teacher = resize_bilinear(batch["teacher_hms"], det_hw,
-                                      align_corners=False)
-            mask = resize_bilinear(batch["mask"], det_hw,
-                                   align_corners=False)
-            mask = jnp.broadcast_to(mask, gt.shape)
-            # quirk preserved: the reference feeds the *sigmoided*
-            # attention map to BCEWithLogits (distillation.py:201-202,326)
-            seg_loss = bce_with_logits(att, segm, cfg.att_pos_weight)
-            det_loss = distillation_bce_loss_keypoint_mining(
-                det, teacher, gt,
-                alpha=cfg.distillation_alpha, mask=mask,
-                background_factor=cfg.background_factor,
-                teacher_pos_weight=cfg.det_pos_weight,
-                gt_pos_weight=cfg.det_pos_weight)
-            total = seg_loss + det_loss
-            return total, (seg_loss, det_loss, mut["batch_stats"])
+        if grad_accum == 1:
+            grads, (seg_loss, det_loss, new_stats) = grad_fn(
+                state.params, state.batch_stats, state.step, batch)
+        else:
+            b = batch["img"].shape[0]
+            assert b % grad_accum == 0, (b, grad_accum)
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, b // grad_accum)
+                                    + x.shape[1:]), batch)
 
-        grads, (seg_loss, det_loss, new_stats) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+            def body(carry, mb):
+                stats, acc = carry
+                g, (seg, det, new_stats) = grad_fn(
+                    state.params, stats, state.step, mb)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (new_stats, acc), (seg, det)
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (new_stats, acc), (segs, dets) = jax.lax.scan(
+                body, (state.batch_stats, zeros), micro)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_accum, acc)
+            seg_loss = jnp.mean(segs)
+            det_loss = jnp.mean(dets)
+
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -49,6 +49,9 @@ def parse_args():
     p.add_argument("--ae_dims", type=int, default=0)
     p.add_argument("--inplanes", type=int, default=80)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatch count: gradients of batch_size/N "
+                        "slices are averaged into one optimizer update")
     p.add_argument("--num_epochs", type=int, default=20000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--train_hw", type=int, nargs=2, default=[450, 450])
@@ -64,6 +67,9 @@ def parse_args():
     p.add_argument("--diagnose_every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no_resume", dest="resume", action="store_false")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis "
+                        "(ZeRO stage 1) instead of replicating it")
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel size (default: all devices)")
     return p.parse_args()
@@ -178,7 +184,8 @@ def main():
     mesh = make_mesh(n_data=args.mesh_data)
     log.info(f"mesh: {mesh}")
     if args.student == "attention_steps":
-        step_fn = make_distill_train_step(model, cfg)
+        step_fn = make_distill_train_step(model, cfg,
+                                          grad_accum=args.grad_accum)
     else:
         from rtpe_tpu.train.legacy_steps import make_student_train_step
         raw_step = make_student_train_step(
@@ -191,7 +198,11 @@ def main():
             return raw_step(state, simple)
 
     with mesh:
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if args.zero1 and hasattr(state, "opt_state"):
+            from rtpe_tpu.parallel import zero1_state_sharding
+            state = jax.device_put(state, zero1_state_sharding(state, mesh))
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
         global_step = int(np.asarray(state.step))
         t_start = time.time()
         for epoch in range(args.num_epochs):

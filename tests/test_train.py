@@ -170,3 +170,161 @@ def test_train_step_on_cpu_mesh():
     assert moved["att"] > 0.0
     assert moved["det"] > 0.0
     assert float(state.step) == 4
+
+
+def _tiny_model_and_batch(b=8, h=32, w=32, seed=0):
+    model = AttentionStudentSteps(inplanes=8, num_heatmaps=17, ae_dims=0,
+                                  alt_planes=6, detach_att_for_det=True,
+                                  dtype=jnp.float32)
+    rng = np.random.RandomState(seed)
+    x = jnp.zeros((1, h, w, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    batch = {
+        "img": rng.rand(b, h, w, 3).astype(np.float32),
+        "img_alt": rng.rand(b, h, w, 3).astype(np.float32),
+        "segm_mask": (rng.rand(b, h, w, 1) > 0.7).astype(np.float32),
+        "gt_hms": (rng.rand(b, h, w, 17) > 0.9).astype(np.float32),
+        "teacher_hms": rng.rand(b, h, w, 17).astype(np.float32),
+        "mask": np.ones((b, h, w, 1), np.float32),
+    }
+    return model, variables, batch
+
+
+def test_grad_accum_equals_single_step_on_duplicated_batch():
+    """grad_accum=2 on a batch of two identical halves must produce the
+    exact same parameter/optimizer update as grad_accum=1 on one half:
+    with identical microbatches, per-micro BatchNorm statistics equal
+    the half-batch statistics, so gradients and their mean coincide."""
+    model, variables, half = _tiny_model_and_batch(b=4)
+    dup = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+    cfg = DistillConfig()
+
+    s_acc = DistillTrainState.create(variables, cfg)
+    s_one = DistillTrainState.create(variables, cfg)
+    step_acc = make_distill_train_step(model, cfg, grad_accum=2)
+    step_one = make_distill_train_step(model, cfg, grad_accum=1)
+    s_acc, m_acc = step_acc(s_acc, dup)
+    s_one, m_one = step_one(s_one, half)
+
+    np.testing.assert_allclose(float(m_acc["keypoints_loss"]),
+                               float(m_one["keypoints_loss"]),
+                               rtol=1e-6)
+    fa = flatten_dict(s_acc.params)
+    fo = flatten_dict(s_one.params)
+    for path in fa:
+        np.testing.assert_allclose(np.asarray(fa[path]),
+                                   np.asarray(fo[path]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
+
+
+def test_grad_accum_is_mean_of_microbatch_grads():
+    """Accumulated gradients == arithmetic mean of the per-microbatch
+    gradients computed independently with chained batch_stats (the
+    defining property of the scan)."""
+    import optax
+
+    from rtpe_tpu.train.step import (
+        att_divisor_at, make_distill_optimizer)
+
+    model, variables, batch = _tiny_model_and_batch(b=4)
+    cfg = DistillConfig()
+    n = 2
+    state = DistillTrainState.create(variables, cfg)
+    step = make_distill_train_step(model, cfg, grad_accum=n)
+    new_state, _ = step(state, batch)
+
+    # manual reference: two sequential grad computations
+    from rtpe_tpu.ops.resize import resize_bilinear
+    from rtpe_tpu.train.losses import (
+        bce_with_logits, distillation_bce_loss_keypoint_mining)
+
+    def loss_fn(params, stats, mb):
+        (att, det), mut = model.apply(
+            {"params": params, "batch_stats": stats},
+            mb["img"], mb["img_alt"],
+            att_divisor=att_divisor_at(state.step, cfg),
+            train=True, mutable=["batch_stats"])
+        segm = resize_bilinear(mb["segm_mask"], att.shape[1:3],
+                               align_corners=False)
+        gt = resize_bilinear(mb["gt_hms"], det.shape[1:3],
+                             align_corners=False)
+        teacher = resize_bilinear(mb["teacher_hms"], det.shape[1:3],
+                                  align_corners=False)
+        mask = jnp.broadcast_to(
+            resize_bilinear(mb["mask"], det.shape[1:3],
+                            align_corners=False), gt.shape)
+        seg_loss = bce_with_logits(att, segm, cfg.att_pos_weight)
+        det_loss = distillation_bce_loss_keypoint_mining(
+            det, teacher, gt, alpha=cfg.distillation_alpha, mask=mask,
+            background_factor=cfg.background_factor,
+            teacher_pos_weight=cfg.det_pos_weight,
+            gt_pos_weight=cfg.det_pos_weight)
+        return seg_loss + det_loss, mut["batch_stats"]
+
+    stats = state.batch_stats
+    grads_sum = None
+    for i in range(n):
+        mb = {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()}
+        g, stats = jax.grad(loss_fn, has_aux=True)(
+            state.params, stats, mb)
+        grads_sum = g if grads_sum is None else jax.tree_util.tree_map(
+            jnp.add, grads_sum, g)
+    grads_mean = jax.tree_util.tree_map(lambda g: g / n, grads_sum)
+    tx, _, _ = make_distill_optimizer(cfg)
+    updates, _ = tx.update(grads_mean, state.opt_state, state.params)
+    want_params = optax.apply_updates(state.params, updates)
+
+    fa = flatten_dict(new_state.params)
+    fw = flatten_dict(want_params)
+    for path in fa:
+        np.testing.assert_allclose(np.asarray(fa[path]),
+                                   np.asarray(fw[path]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
+    # chained batch_stats must match too
+    fs = flatten_dict(new_state.batch_stats)
+    ft = flatten_dict(stats)
+    for path in fs:
+        np.testing.assert_allclose(np.asarray(fs[path]),
+                                   np.asarray(ft[path]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
+
+
+def test_zero1_sharded_opt_state_matches_replicated():
+    """ZeRO-1 on the 8-way CPU mesh: momentum buffers are physically
+    1/8 per device, and one train step produces the same result as the
+    fully-replicated run."""
+    from rtpe_tpu.parallel import replicate, zero1_state_sharding
+
+    mesh = make_mesh()
+    model, variables, batch = _tiny_model_and_batch(b=8)
+    cfg = DistillConfig()
+    step_fn = make_distill_train_step(model, cfg)
+
+    with mesh:
+        sharded_batch = shard_batch(batch, mesh)
+
+        s_rep = replicate(DistillTrainState.create(variables, cfg), mesh)
+        s_rep, m_rep = step_fn(s_rep, sharded_batch)
+
+        s_z = DistillTrainState.create(variables, cfg)
+        # the test model is tiny; shard anything above 128 elements
+        shardings = zero1_state_sharding(s_z, mesh, min_elems=128)
+        s_z = jax.device_put(s_z, shardings)
+        # momentum shards shrink on at least the large conv kernels
+        shrunk = 0
+        for leaf in jax.tree_util.tree_leaves(s_z.opt_state):
+            if hasattr(leaf, "addressable_shards") and leaf.size >= 128:
+                shard = leaf.addressable_shards[0]
+                if np.prod(shard.data.shape) < leaf.size:
+                    shrunk += 1
+        assert shrunk > 0
+        s_z, m_z = step_fn(s_z, sharded_batch)
+
+    np.testing.assert_allclose(float(m_z["keypoints_loss"]),
+                               float(m_rep["keypoints_loss"]), rtol=1e-6)
+    fa = flatten_dict(jax.device_get(s_z.params))
+    fb = flatten_dict(jax.device_get(s_rep.params))
+    for path in fa:
+        np.testing.assert_allclose(np.asarray(fa[path]),
+                                   np.asarray(fb[path]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
