@@ -31,12 +31,13 @@ def _resize_bilinear_host(arr_hwc: np.ndarray, out_hw) -> np.ndarray:
     """Host bilinear resize with torch align_corners=True semantics
     (the teacher maps are stored at model resolution and upsampled to
     image size, ``dataloaders.py:157-164``)."""
-    import jax.numpy as jnp
-
-    from ..ops.resize import resize_bilinear
-    out = resize_bilinear(jnp.asarray(arr_hwc[None]), tuple(out_hw),
-                          align_corners=True)
-    return np.asarray(out[0])
+    from ..native import native_bilinear_resize
+    out = native_bilinear_resize(arr_hwc, tuple(out_hw),
+                                 align_corners=True)
+    if out is not None:
+        return out
+    from ..ops.resize import resize_bilinear_np
+    return resize_bilinear_np(arr_hwc, tuple(out_hw), align_corners=True)
 
 
 class CocoDistillationDataset:
@@ -50,7 +51,8 @@ class CocoDistillationDataset:
                  gt_stddevs_pix: Sequence[float] = (2.0,),
                  num_joints: int = 17,
                  whitelist_ids: Optional[Sequence[int]] = None,
-                 alt_colorspace: Optional[str] = None):
+                 alt_colorspace: Optional[str] = None,
+                 host_gt_heatmaps: bool = True):
         self.root = coco_root_path
         self.dataset = coco_dataset_name
         self.coco = CocoAnnotations.from_root(coco_root_path,
@@ -60,6 +62,9 @@ class CocoDistillationDataset:
                                    for s in gt_stddevs_pix]
         self.teacher_dir = teacher_output_dir
         self.alt_colorspace = alt_colorspace
+        # the device pipeline renders targets from joints on device;
+        # setting this False skips the (unused) host gaussian blits
+        self.host_gt_heatmaps = host_gt_heatmaps
 
         self.ids: List[int] = list(self.coco.ids)
         if remove_images_without_annotations:
@@ -93,7 +98,8 @@ class CocoDistillationDataset:
                 if a.get("iscrowd", 0) == 0 or a.get("num_keypoints", 0) > 0]
         joints = get_joints(anno, self.num_joints)
         hms = [np.transpose(g(joints, mask.shape), (1, 2, 0))
-               for g in self.heatmap_generators]
+               for g in self.heatmap_generators] \
+            if self.host_gt_heatmaps else []
 
         if self.teacher_dir is not None:
             img_num = "{:012d}".format(img_id)

@@ -4,18 +4,28 @@ The reference's data path is its biggest bottleneck: per-sample python
 loading with ``num_workers=0`` and per-*channel* PIL augmentation replay
 (``distillation.py:278-283``, SURVEY.md §3.5).  The TPU pipeline here:
 
-1. host: decode + pad every sample onto a fixed canvas (numpy only),
+1. host: decode + pad every sample onto a fixed canvas (numpy only) —
+   with ``num_workers > 1``, a thread pool builds several batches
+   concurrently (JPEG decode via cv2, RLE via the bundled C++ codec and
+   numpy all release the GIL, so threads scale without pickling the
+   ~60 MB host batches through process boundaries),
 2. device: render Gaussian targets from joints, then warp *all* planes
    of the batch with one affine matrix per sample in a single batched
    ``affine_warp`` (image, alt image, masks, teacher maps, heatmaps
    together), entirely inside one jitted program,
-3. a background thread keeps one batch ahead (double buffering).
+3. ``prefetch`` finished batches are kept ahead of the consumer.
 
-Every batch has identical shapes -> one XLA compilation.
+Every batch has identical shapes -> one XLA compilation.  With
+``num_workers > 1`` each batch gets its own seed drawn up-front, so the
+augmentation stream is deterministic for a given pipeline seed
+regardless of worker count or scheduling; ``num_workers=1`` keeps the
+round-1 sequential stream byte-for-byte.
 """
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Iterator, Optional, Tuple
 
@@ -89,7 +99,8 @@ class TrainPipeline:
                  teacher_ae_dims: int = 17,
                  seed: int = 0,
                  shuffle: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 num_workers: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.out_hw = tuple(out_hw)
@@ -102,10 +113,12 @@ class TrainPipeline:
         self.rng = np.random.RandomState(seed)
         self.shuffle = shuffle
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
         self.num_joints = dataset.num_joints
 
     # ------------------------------------------------------------------
-    def _host_batch(self, indices):
+    def _host_batch(self, indices, rng=None):
+        rng = self.rng if rng is None else rng
         ch, cw = self.canvas_hw
         b = len(indices)
         j = self.num_joints
@@ -121,7 +134,11 @@ class TrainPipeline:
         for k, idx in enumerate(indices):
             s = self.ds[idx]
             h, w = s["img"].shape[:2]
-            h, w = min(h, ch), min(w, cw)
+            if h > ch or w > cw:
+                raise ValueError(
+                    f"sample {idx}: image {h}x{w} exceeds the "
+                    f"{ch}x{cw} canvas — raise canvas_hw (COCO fits 640; "
+                    f"silent cropping would corrupt joints/targets)")
             imgs[k, :h, :w] = s["img"][:h, :w]
             masks[k, :h, :w] = s["mask"][:h, :w]
             segms[k, :h, :w] = s["segm_mask"][:h, :w]
@@ -131,7 +148,7 @@ class TrainPipeline:
                 t_ae[k, :h, :w, :d] = s["teacher_ae"][:h, :w, :d]
             p = min(MAX_PEOPLE, s["joints"].shape[0])
             joints[k, :p] = s["joints"][:p]
-            mats[k] = sample_affine_matrices(self.rng, 1, (h, w),
+            mats[k] = sample_affine_matrices(rng, 1, (h, w),
                                              self.augment)[0]
             img_ids[k] = s["img_id"]
         return imgs, masks, segms, t_hms, t_ae, joints, mats, img_ids
@@ -145,26 +162,53 @@ class TrainPipeline:
                 for i in range(n_full)]
 
     # ------------------------------------------------------------------
-    def __iter__(self) -> Iterator[dict]:
+    def host_batches(self) -> Iterator[tuple]:
+        """Yield raw host batches for one epoch (the CPU-side feed)."""
         batches = self._epoch_indices()
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        if self.num_workers == 1:
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
-        def producer():
-            try:
-                for inds in batches:
-                    q.put(self._host_batch(inds))
-                q.put(None)
-            except BaseException as e:  # re-raised on the consumer side
-                q.put(e)
+            def producer():
+                try:
+                    for inds in batches:
+                        q.put(self._host_batch(inds))
+                    q.put(None)
+                except BaseException as e:  # re-raised on consumer side
+                    q.put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        else:
+            # per-batch seeds drawn up front: deterministic streams
+            # independent of scheduling
+            seeds = self.rng.randint(0, 2 ** 31 - 1, size=len(batches))
+            inflight = self.num_workers + self.prefetch
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                futs = deque()
+                nxt = 0
+                while nxt < min(inflight, len(batches)):
+                    futs.append(ex.submit(
+                        self._host_batch, batches[nxt],
+                        np.random.RandomState(seeds[nxt])))
+                    nxt += 1
+                while futs:
+                    item = futs.popleft().result()
+                    if nxt < len(batches):
+                        futs.append(ex.submit(
+                            self._host_batch, batches[nxt],
+                            np.random.RandomState(seeds[nxt])))
+                        nxt += 1
+                    yield item
+
+    def __iter__(self) -> Iterator[dict]:
+        for item in self.host_batches():
             imgs, masks, segms, t_hms, t_ae, joints, mats, img_ids = item
             batch = _augment_batch_device(
                 jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(segms),

@@ -10,6 +10,8 @@ Currently provided:
 
 * ``lap_solve(cost)``   — square linear assignment (Jonker-Volgenant)
 * ``rle_decode/encode`` — COCO compressed RLE masks (see data/rle.py)
+* ``bilinear_resize``   — HWC float32 resize, torch semantics (the
+  per-sample teacher-map upsampling in the data pipeline)
 """
 
 import ctypes
@@ -51,6 +53,13 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,
                 ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
             lib.rle_encode_mask.restype = ctypes.c_int
+            if hasattr(lib, "bilinear_resize_hwc"):
+                lib.bilinear_resize_hwc.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int]
+                lib.bilinear_resize_hwc.restype = ctypes.c_int
             _LIB = lib
         except OSError:
             _LIB = None
@@ -99,7 +108,8 @@ def build(verbose: bool = False) -> bool:
     """Compile the C++ library in place with g++.  Returns success."""
     import subprocess
     here = os.path.dirname(__file__)
-    src = [os.path.join(here, "lap.cpp"), os.path.join(here, "rle.cpp")]
+    src = [os.path.join(here, "lap.cpp"), os.path.join(here, "rle.cpp"),
+           os.path.join(here, "resize.cpp")]
     src = [s for s in src if os.path.exists(s)]
     if not src:
         return False
@@ -139,3 +149,20 @@ def lap_solve(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     from scipy.optimize import linear_sum_assignment
     rows, cols = linear_sum_assignment(cost)
     return rows, cols
+
+
+def native_bilinear_resize(x_hwc: np.ndarray, out_hw,
+                           align_corners: bool = True):
+    """C++ bilinear HWC resize; returns None when the lib is absent."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "bilinear_resize_hwc"):
+        return None
+    x = np.ascontiguousarray(x_hwc, dtype=np.float32)
+    ih, iw, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, c), np.float32)
+    rc = lib.bilinear_resize_hwc(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ih, iw, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), oh, ow,
+        int(bool(align_corners)))
+    return out if rc == 0 else None

@@ -78,6 +78,48 @@ def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = True):
     return y.astype(dtype)
 
 
+def _bilinear_taps(in_size: int, out_size: int, align_corners: bool):
+    """(lo, frac) of the two-tap interpolation behind
+    :func:`_bilinear_weight_matrix` (same math, sparse form)."""
+    if in_size == 1:
+        return (np.zeros(out_size, np.int64),
+                np.zeros(out_size, np.float64))
+    if align_corners:
+        if out_size == 1:
+            return np.zeros(1, np.int64), np.zeros(1, np.float64)
+        src = np.arange(out_size, dtype=np.float64) * ((in_size - 1)
+                                                       / (out_size - 1))
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 2)
+    return lo, src - lo
+
+
+def resize_bilinear_np(x_hwc: np.ndarray, out_hw,
+                       align_corners: bool = True) -> np.ndarray:
+    """Pure-numpy :func:`resize_bilinear` for (H, W, C) host arrays.
+
+    Same torch semantics and (to fp32 rounding) the same values as the
+    jax version, but as two-tap gather-lerps instead of dense matmuls —
+    ~7x faster on a host CPU core for the teacher-map upsampling the
+    data pipeline does per sample.
+    """
+    out_h, out_w = out_hw
+    in_h, in_w = x_hwc.shape[:2]
+    x = np.asarray(x_hwc, dtype=np.float32)
+    if (out_h, out_w) == (in_h, in_w):
+        return x
+    lo, f = _bilinear_taps(in_h, out_h, align_corners)
+    f = f.astype(np.float32)[:, None, None]
+    x = x[lo] * (1.0 - f) + x[np.minimum(lo + 1, in_h - 1)] * f
+    lo, f = _bilinear_taps(in_w, out_w, align_corners)
+    f = f.astype(np.float32)[None, :, None]
+    x = x[:, lo] * (1.0 - f) + x[:, np.minimum(lo + 1, in_w - 1)] * f
+    return x
+
+
 def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     # torch 'nearest' (legacy): src = floor(dst * in/out)
     idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)

@@ -67,6 +67,10 @@ def parse_args():
     p.add_argument("--diagnose_every", type=int, default=500)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no_resume", dest="resume", action="store_false")
+    p.add_argument("--num_workers", type=int,
+                   default=max(1, min(8, os.cpu_count() or 1)),
+                   help="host loader threads (JPEG/RLE/npz all release "
+                        "the GIL)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis "
                         "(ZeRO stage 1) instead of replicating it")
@@ -173,10 +177,12 @@ def main():
     train_ds = CocoDistillationDataset(
         args.coco_dir, args.train_dataset, args.teacher_dir,
         remove_images_without_annotations=True,
-        gt_stddevs_pix=[args.train_gt_stddev])
+        gt_stddevs_pix=[args.train_gt_stddev],
+        host_gt_heatmaps=False)  # targets render on device
     pipeline = TrainPipeline(train_ds, batch_size=args.batch_size,
                              out_hw=tuple(args.train_hw),
-                             sigma=args.train_gt_stddev)
+                             sigma=args.train_gt_stddev,
+                             num_workers=args.num_workers)
     log.info(f"train dataset: {len(train_ds)} images, "
              f"{len(pipeline)} steps/epoch")
 

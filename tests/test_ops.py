@@ -158,3 +158,27 @@ def test_affine_warp_batched_planes_share_matrix():
     single = np.asarray(affine_warp(jnp.asarray(planes[..., :1]),
                                     jnp.asarray(m[None]), (20, 20)))
     np.testing.assert_allclose(out[..., :1], single, rtol=1e-6, atol=1e-6)
+
+
+def test_resize_bilinear_np_and_native_match_jax():
+    """Host resize implementations (numpy 2-tap and C++ native) equal
+    the jax torch-semantics resize on both align_corners modes."""
+    import jax.numpy as jnp
+
+    from rtpe_tpu.native import build as build_native, native_bilinear_resize
+    from rtpe_tpu.ops.resize import resize_bilinear, resize_bilinear_np
+
+    build_native()
+    rng = np.random.RandomState(0)
+    for (ih, iw, oh, ow) in [(240, 320, 480, 640), (120, 160, 480, 640),
+                             (7, 5, 13, 11), (1, 5, 4, 10), (16, 16, 5, 3)]:
+        for ac in (True, False):
+            x = rng.rand(ih, iw, 6).astype(np.float32)
+            want = np.asarray(resize_bilinear(
+                jnp.asarray(x[None]), (oh, ow), align_corners=ac)[0])
+            got_np = resize_bilinear_np(x, (oh, ow), align_corners=ac)
+            np.testing.assert_allclose(got_np, want, rtol=1e-5, atol=1e-5)
+            got_cc = native_bilinear_resize(x, (oh, ow), align_corners=ac)
+            if got_cc is not None:
+                np.testing.assert_allclose(got_cc, want, rtol=1e-5,
+                                           atol=1e-5)

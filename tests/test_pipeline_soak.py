@@ -1,0 +1,149 @@
+"""Input-pipeline soak test (VERDICT r1 item 7).
+
+Builds a realistic synthetic COCO (JPEG images + compressed teacher
+npz with SMOOTH heatmaps, like a real teacher corpus), then:
+
+* soaks the host feed for two epochs with the threaded loader,
+* logs the measured feed rate (absolute rates are machine-bound — this
+  container exposes ONE core; the loader scales by core count since
+  JPEG decode, RLE, npz inflate and the native resize all release the
+  GIL),
+* asserts the parallel loader is deterministic for a fixed seed, and
+* asserts parity between the threaded path and a fresh dataset read.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from rtpe_tpu.data.dataset import CocoDistillationDataset
+from rtpe_tpu.data.pipeline import TrainPipeline
+
+
+@pytest.fixture(scope="module")
+def synthetic_coco(tmp_path_factory):
+    import cv2
+
+    from rtpe_tpu.data.teacher_cache import save_teacher_prediction
+
+    root = str(tmp_path_factory.mktemp("soak_coco"))
+    os.makedirs(os.path.join(root, "annotations"))
+    os.makedirs(os.path.join(root, "images", "val2017"))
+    os.makedirs(os.path.join(root, "teacher"))
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    aid = 1
+    n = 16
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h // 2, 0:w // 2]
+    for i in range(n):
+        img_id = 1000 + i
+        fname = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(root, "images", "val2017", fname),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        images.append({"id": img_id, "file_name": fname,
+                       "height": h, "width": w})
+        for _ in range(3):
+            cx, cy = rng.randint(50, 500), rng.randint(50, 400)
+            kps = []
+            for j in range(17):
+                kps += [int(cx + (j % 5) * 3), int(cy + (j // 5) * 4), 2]
+            annotations.append({
+                "id": aid, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": 17, "iscrowd": 0,
+                "area": 625.0, "bbox": [cx - 5, cy - 5, 25, 25],
+                "segmentation": [[cx - 5, cy - 5, cx + 20, cy - 5,
+                                  cx + 20, cy + 20, cx - 5, cy + 20]]})
+            aid += 1
+        # smooth teacher maps (gaussian bumps), like a real corpus
+        refined = np.zeros((h // 2, w // 2, 17), np.float32)
+        for j in range(17):
+            cx, cy = rng.randint(20, w // 2 - 20), rng.randint(
+                20, h // 2 - 20)
+            refined[:, :, j] = np.exp(
+                -((xx - cx) ** 2 + (yy - cy) ** 2) / 50.0)
+        coarse = np.concatenate(
+            [refined[::2, ::2], np.zeros((h // 4, w // 4, 17),
+                                         np.float32)], axis=-1)
+        save_teacher_prediction(os.path.join(root, "teacher"), fname,
+                                coarse, refined)
+    with open(os.path.join(root, "annotations",
+                           "person_keypoints_val2017.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person",
+                                   "keypoints": ["k"] * 17}]}, f)
+    return root
+
+
+def _make_pipe(root, num_workers, seed=0):
+    ds = CocoDistillationDataset(
+        root, "val2017", teacher_output_dir=os.path.join(root, "teacher"),
+        gt_stddevs_pix=[7.0], host_gt_heatmaps=False)
+    return TrainPipeline(ds, batch_size=8, num_workers=num_workers,
+                         seed=seed)
+
+
+def test_soak_two_epochs_and_feed_rate(synthetic_coco):
+    pipe = _make_pipe(synthetic_coco, num_workers=4)
+    n_img = 0
+    t0 = time.time()
+    for epoch in range(2):
+        for hb in pipe.host_batches():
+            imgs = hb[0]
+            assert np.isfinite(imgs).all()
+            n_img += imgs.shape[0]
+    dt = time.time() - t0
+    rate = n_img / dt
+    cores = os.cpu_count() or 1
+    print(f"\n[soak] host feed: {rate:.1f} img/s over {n_img} images "
+          f"on {cores} core(s) ({rate / max(cores, 1):.1f} img/s/core; "
+          f"the 318 img/s training rate needs "
+          f"~{int(np.ceil(318 / max(rate / max(cores, 1), 1e-9)))} cores)")
+    assert n_img == 2 * (16 // 8) * 8  # two full epochs of full batches
+    # no absolute-rate assertion: this box has one (shared) core and the
+    # suite runs concurrently with it; the printed rate is the record
+    assert rate > 0
+
+
+def test_parallel_loader_deterministic(synthetic_coco):
+    def collect(num_workers):
+        pipe = _make_pipe(synthetic_coco, num_workers=num_workers, seed=7)
+        out = []
+        for hb in pipe.host_batches():
+            out.append((hb[0].copy(), hb[6].copy(), hb[7].copy()))
+        return out
+
+    a = collect(4)
+    b = collect(4)
+    assert len(a) == len(b) > 0
+    for (ia, ma, ida), (ib, mb, idb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ma, mb)  # affine matrices
+        np.testing.assert_array_equal(ida, idb)
+
+
+def test_parallel_loader_content_matches_dataset(synthetic_coco):
+    """Canvas content equals a direct dataset read (no corruption from
+    concurrent assembly)."""
+    pipe = _make_pipe(synthetic_coco, num_workers=4, seed=3)
+    pipe.shuffle = False
+    hb = next(iter(pipe.host_batches()))
+    imgs, masks, segms, t_hms, t_ae, joints, mats, img_ids = hb
+    ds = pipe.ds
+    for k in range(imgs.shape[0]):
+        s = ds[k]
+        h, w = s["img"].shape[:2]
+        np.testing.assert_array_equal(imgs[k, :h, :w], s["img"])
+        np.testing.assert_array_equal(t_hms[k, :h, :w],
+                                      s["teacher_hms"])
+        assert img_ids[k] == s["img_id"]
+
+
+def test_oversized_sample_raises(synthetic_coco):
+    pipe = _make_pipe(synthetic_coco, num_workers=1)
+    pipe.canvas_hw = (128, 128)  # smaller than the 480x640 images
+    with pytest.raises(ValueError, match="exceeds"):
+        pipe._host_batch([0])
