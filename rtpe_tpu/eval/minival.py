@@ -1,0 +1,131 @@
+"""In-training minival: batched attention BCE + detection AP.
+
+The reference computed its detection-AP minival but kept it commented
+out (``distillation.py:391-418``) and ran no attention minival at all;
+round 1 of this framework ran an un-jitted bs=1 attention loop.  Here:
+
+* :func:`attention_minival` buckets the minival images by shape and
+  evaluates whole batches per jitted call (exact per-image losses — the
+  reduction is per image, so results equal the bs=1 loop bit-for-bit
+  up to summation order);
+* :func:`detection_minival` runs the full decode + OKS-AP evaluation
+  (the uncommented version of the reference's block) for students that
+  carry AE channels, using the same engine contract as
+  ``eval/engine.py`` (reference ``rtpe/engine.py:21-75``).
+"""
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.preprocess import normalize_image
+from ..ops.resize import resize_bilinear
+
+
+def _bucket_by_shape(dataset, max_images: Optional[int] = None):
+    n = len(dataset) if max_images is None else min(len(dataset),
+                                                    max_images)
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for i in range(n):
+        img_id = dataset.ids[i]
+        im = dataset.coco.imgs[img_id]
+        buckets[(im["height"], im["width"])].append(i)
+    return buckets
+
+
+def attention_minival(model, params, batch_stats, dataset,
+                      pos_weight: float = 7.0, batch_size: int = 8,
+                      max_images: Optional[int] = None) -> float:
+    """Mean per-image attention BCE over the minival set, batched.
+
+    Images are bucketed by (H, W) so each distinct shape compiles once;
+    ragged tail chunks are padded by repetition and the padded losses
+    dropped.
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def batch_losses(imgs, alts, segms):
+        att, _ = model.apply(variables, imgs, alts, train=False)
+        segm = resize_bilinear(segms, att.shape[1:3],
+                               align_corners=False)
+        x = att.astype(jnp.float32)
+        y = segm.astype(jnp.float32)
+        # quirk preserved: the reference feeds the sigmoided map to
+        # BCEWithLogits (eval_attention.py:160-162)
+        loss = -(pos_weight * y * jax.nn.log_sigmoid(x)
+                 + (1.0 - y) * jax.nn.log_sigmoid(-x))
+        return jnp.mean(loss, axis=(1, 2, 3))
+
+    losses: List[float] = []
+    for (h, w), idxs in sorted(_bucket_by_shape(dataset,
+                                                max_images).items()):
+        for c0 in range(0, len(idxs), batch_size):
+            chunk = idxs[c0:c0 + batch_size]
+            n = len(chunk)
+            padded = chunk + [chunk[-1]] * (batch_size - n)
+            imgs = np.zeros((batch_size, h, w, 3), np.float32)
+            alts = np.zeros((batch_size, h, w, 3), np.float32)
+            segms = np.zeros((batch_size, h, w, 1), np.float32)
+            for k, i in enumerate(padded):
+                s = dataset[i]
+                imgs[k] = normalize_image(s["img"])
+                alts[k] = s["img_alt"]
+                segms[k, :, :, 0] = s["segm_mask"]
+            out = np.asarray(batch_losses(
+                jnp.asarray(imgs), jnp.asarray(alts), jnp.asarray(segms)))
+            losses.extend(float(v) for v in out[:n])
+    return float(np.mean(losses)) if losses else float("nan")
+
+
+def detection_minival(model, params, batch_stats, dataset,
+                      num_heatmaps: int = 17,
+                      hm_parser=None,
+                      max_images: Optional[int] = None,
+                      logger=None) -> Dict[str, float]:
+    """Decode + COCO-AP minival for an AE-carrying student.
+
+    The working version of the reference's commented-out block
+    (``distillation.py:391-418``): student forward at native size,
+    detection logits upsampled to image resolution (align_corners=True,
+    as the reference students do internally), batched decode, OKS AP
+    over the minival ids.
+    """
+    from ..decode import HeatmapParser
+
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def fwd(img, alt):
+        _, det = model.apply(variables, img, alt, train=False)
+        return det
+
+    n = len(dataset) if max_images is None else min(len(dataset),
+                                                    max_images)
+    all_preds, all_scores = [], []
+    for i in range(n):
+        s = dataset[i]
+        out_hw = s["img"].shape[:2]
+        det = fwd(jnp.asarray(normalize_image(s["img"])[None]),
+                  jnp.asarray(s["img_alt"][None]))
+        det = resize_bilinear(det, out_hw, align_corners=True)
+        det = det.astype(jnp.float32)
+        pred_hms = det[..., :num_heatmaps]
+        pred_ae = det[..., num_heatmaps:]
+        if hm_parser is None:
+            # students carry one shared AE map (ae_dims=1); the teacher
+            # carries one per joint
+            hm_parser = HeatmapParser(
+                num_joints=num_heatmaps,
+                tag_per_joint=pred_ae.shape[-1] == num_heatmaps)
+        grouped, scores = hm_parser.parse_batch(pred_hms, pred_ae)
+        people = [p for p in grouped[0] if np.asarray(p).size > 0]
+        all_preds.append(people)
+        all_scores.append(scores[0])
+        if logger is not None:
+            logger.info(f"det minival {i}: {len(people)} people")
+    return dataset.evaluate(all_preds, all_scores)

@@ -46,14 +46,23 @@ class StudentTrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # optional fp16-style dynamic loss scaler state (None when unused —
+    # bf16 needs no scaling; this is the reference FP16_Optimizer path,
+    # fp16_utils/loss_scaler.py, wired for capability parity)
+    scaler: Any = None
 
     @classmethod
-    def create(cls, variables: Dict, cfg: StudentDistillConfig):
+    def create(cls, variables: Dict, cfg: StudentDistillConfig,
+               dynamic_loss_scale: bool = False,
+               init_scale: float = 2.0 ** 15):
+        from .loss_scaling import init_dynamic_scaler
         tx = _make_tx(cfg)
         return cls(step=jnp.zeros((), jnp.int32),
                    params=variables["params"],
                    batch_stats=variables.get("batch_stats", {}),
-                   opt_state=tx.init(variables["params"]))
+                   opt_state=tx.init(variables["params"]),
+                   scaler=(init_dynamic_scaler(init_scale)
+                           if dynamic_loss_scale else None))
 
 
 def _make_tx(cfg: StudentDistillConfig):
@@ -68,12 +77,24 @@ def _make_tx(cfg: StudentDistillConfig):
 
 
 def make_student_train_step(model, cfg: StudentDistillConfig,
-                            out_hw: Tuple[int, int] = None):
+                            out_hw: Tuple[int, int] = None,
+                            dynamic_loss_scale: bool = False):
     """Build a jitted step for Refiner/Multistage/Cam students.
 
     ``batch``: ``img`` (B,H,W,3), ``gt_hms`` (B,H,W,C), ``teacher_hms``
     (B,H,W,C), ``mask`` (B,H,W,1); C = num_heatmaps (+ae channels when
     the targets carry them).
+
+    ``dynamic_loss_scale`` reproduces the reference FP16_Optimizer
+    semantics (``fp16_utils/fp16_optimizer.py`` + ``loss_scaler.py``):
+    the loss is multiplied by the scaler's power-of-two scale before the
+    backward pass, gradients are unscaled (exact — power-of-two), and on
+    any non-finite gradient the whole optimizer update (params AND
+    momentum) is skipped while the scale halves; after 1000 clean steps
+    it doubles.  The state must be created with
+    ``StudentTrainState.create(..., dynamic_loss_scale=True)``.
+    bf16 on TPU shares fp32's exponent range, so this is parity
+    machinery, not a numerical necessity (SURVEY.md §2.5).
     """
     tx = _make_tx(cfg)
     sched = sgdr_schedule(cfg.sgdr)
@@ -102,6 +123,38 @@ def make_student_train_step(model, cfg: StudentDistillConfig,
                     mask=jnp.broadcast_to(mask, gt[..., :c].shape),
                     background_factor=cfg.background_factor)
             return total, mut["batch_stats"]
+
+        if dynamic_loss_scale:
+            from .loss_scaling import has_overflow, update_scaler
+
+            scale = state.scaler.scale
+
+            def scaled_loss_fn(params):
+                loss, stats = loss_fn(params)
+                return loss * scale, (loss, stats)
+
+            (_, (loss, new_stats)), grads = jax.value_and_grad(
+                scaled_loss_fn, has_aux=True)(state.params)
+            grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
+            overflow = has_overflow(grads)
+            safe = jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            updates, new_opt = tx.update(safe, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            # skip the whole update (params AND momentum) on overflow
+            keep = lambda old, new: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(overflow, a, b), old, new)
+            new_params = keep(state.params, new_params)
+            new_opt = keep(state.opt_state, new_opt)
+            new_scaler = update_scaler(state.scaler, overflow)
+            metrics = {"loss": loss, "lr": sched(state.step),
+                       "loss_scale": new_scaler.scale,
+                       "overflow": overflow.astype(jnp.float32)}
+            return state.replace(step=state.step + 1, params=new_params,
+                                 batch_stats=new_stats,
+                                 opt_state=new_opt,
+                                 scaler=new_scaler), metrics
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -216,7 +216,6 @@ def main():
                 batch.pop("img_id")
                 batch = shard_batch(
                     {k: np.asarray(v) for k, v in batch.items()}, mesh)
-                batch["mask"] = batch["mask"]
                 state, metrics = step_fn(state, batch)
                 wd.alive()
                 global_step += 1
@@ -251,32 +250,27 @@ def main():
                     tb.flush()
                 if (minival_ds is not None and args.minival_every
                         and global_step % args.minival_every == 0):
-                    # in-training minival: attention BCE over the
-                    # whitelist (the reference's AP minival was
-                    # commented out, distillation.py:391-418; detection
-                    # AP needs AE channels, ae_dims=0 in this config)
-                    from rtpe_tpu.data.preprocess import normalize_image
-                    from rtpe_tpu.ops.resize import resize_bilinear
-                    from rtpe_tpu.train import bce_with_logits
+                    # in-training minival over the whitelist: batched
+                    # attention BCE, plus decode+AP when the student
+                    # carries AE channels (the reference kept its AP
+                    # minival commented out, distillation.py:391-418)
+                    from rtpe_tpu.eval.minival import (
+                        attention_minival, detection_minival)
                     t0 = time.time()
-                    mv_losses = []
-                    for mi in range(len(minival_ds)):
-                        s = minival_ds[mi]
-                        att, _ = model.apply(
-                            {"params": state.params,
-                             "batch_stats": state.batch_stats},
-                            jnp.asarray(normalize_image(s["img"])[None]),
-                            jnp.asarray(s["img_alt"][None]), train=False)
-                        segm = resize_bilinear(
-                            jnp.asarray(
-                                s["segm_mask"][None, :, :, None]),
-                            att.shape[1:3], align_corners=False)
-                        mv_losses.append(float(bce_with_logits(
-                            att, segm, 7.0)))
-                    mv = float(np.mean(mv_losses))
+                    mv = attention_minival(
+                        model, state.params, state.batch_stats,
+                        minival_ds)
                     log.info(f"MINIVAL att loss: {mv:.5f} "
                              f"({time.time() - t0:.1f}s)")
                     tb.scalar("minival att loss", mv, global_step)
+                    if args.ae_dims > 0:
+                        stats = detection_minival(
+                            model, state.params, state.batch_stats,
+                            minival_ds,
+                            num_heatmaps=args.num_heatmaps, logger=log)
+                        log.info(f"MINIVAL AP: {stats}")
+                        for k, v in stats.items():
+                            tb.scalar(f"minival {k}", v, global_step)
                     tb.scalar("minival elapsed_seconds",
                               time.time() - t0, global_step)
                 if args.max_steps and global_step >= args.max_steps:

@@ -126,3 +126,75 @@ def test_eval_student_engine_with_oracle_model(tmp_path):
     import os
     assert os.path.exists(os.path.join(str(tmp_path),
                                        "student_minival_0.jpg"))
+
+
+def test_crowded_tied_scene_fused_vs_host_ap(tmp_path):
+    """AP impact of the jit-Hungarian tie-break divergence (quantified
+    in decode/group_jit.py): on a crowded scene with overlapping people
+    and NEAR-TIED tags — the regime where assignment ties happen — the
+    fused device decode must stay within 0.05 AP of the host oracle."""
+    import json
+    import os
+
+    import cv2
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "annotations"))
+    os.makedirs(os.path.join(root, "images", "val2017"))
+    rng = np.random.RandomState(0)
+    h, w = 128, 160
+    images, annotations = [], []
+    aid = 1
+    for i in range(2):
+        img_id = 2000 + i
+        fname = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(root, "images", "val2017", fname),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        images.append({"id": img_id, "file_name": fname,
+                       "height": h, "width": w})
+        # five people crammed into one quadrant (overlapping parts)
+        for p in range(5):
+            cx = 30 + p * 12
+            cy = 40 + (p % 2) * 10
+            kps = []
+            for j in range(17):
+                kps += [cx + (j % 5) * 4, cy + (j // 5) * 6, 2]
+            annotations.append({
+                "id": aid, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": 17, "iscrowd": 0,
+                "area": 600.0, "bbox": [cx - 3, cy - 3, 22, 28],
+                "segmentation": [[cx - 3, cy - 3, cx + 19, cy - 3,
+                                  cx + 19, cy + 25, cx - 3, cy + 25]]})
+            aid += 1
+    with open(os.path.join(root, "annotations",
+                           "person_keypoints_val2017.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person",
+                                   "keypoints": ["k"] * 17}]}, f)
+
+    ds = CocoDistillationDataset(root, "val2017")
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+
+    stats = {}
+    for mode in ("host", "fused"):
+        all_preds, all_scores = [], []
+        for i in range(len(ds)):
+            s = ds[i]
+            det, tag = _render_ideal(s["joints"], s["mask"].shape)
+            # near-tied tags: people separated by only ~0.6 in tag space
+            # (threshold 1.0), plus noise — the tie-prone regime
+            tag = tag * 0.3 + rng.randn(*tag.shape).astype(np.float32) * 0.01
+            dj, tj = jnp.asarray(det[None]), jnp.asarray(tag[None])
+            if mode == "host":
+                grouped, scores = parser.parse(dj, tj, on_device=False)
+            else:
+                grouped, scores = parser.parse_fused(dj, tj)
+            people = [p for p in grouped[0] if np.asarray(p).size > 0]
+            all_preds.append(people)
+            all_scores.append(scores)
+        stats[mode] = ds.evaluate(all_preds, all_scores)
+
+    assert stats["host"]["Ap .5"] > 0.5  # the scene is decodable at all
+    assert abs(stats["fused"]["AP"] - stats["host"]["AP"]) <= 0.05, stats
+    assert abs(stats["fused"]["Ap .5"] - stats["host"]["Ap .5"]) <= 0.05, \
+        stats

@@ -210,3 +210,68 @@ def test_halo_conv_5x5_and_stride():
     got = halo_conv(xs, jnp.asarray(k), mesh, "model")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_loss_scaled_step_matches_unscaled_and_skips_overflow():
+    """The wired FP16_Optimizer-style path: power-of-two scaling is
+    exact on clean batches; non-finite gradients skip params AND
+    momentum while the scale halves (reference loss_scaler.py:127-167).
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    from rtpe_tpu.models import CamStudent
+    from rtpe_tpu.train.legacy_steps import (
+        StudentDistillConfig, StudentTrainState, make_student_train_step)
+
+    model = CamStudent(inplanes=8, num_stages=2, num_heatmaps=5,
+                       ae_dims=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    cfg = StudentDistillConfig(background_factor=0.01)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": rng.rand(2, 64, 64, 3).astype(np.float32),
+        "gt_hms": (rng.rand(2, 64, 64, 6) > 0.9).astype(np.float32),
+        "teacher_hms": rng.rand(2, 64, 64, 6).astype(np.float32),
+        "mask": np.ones((2, 64, 64, 1), np.float32),
+    }
+
+    plain = StudentTrainState.create(variables, cfg)
+    scaled = StudentTrainState.create(variables, cfg,
+                                      dynamic_loss_scale=True,
+                                      init_scale=2.0 ** 10)
+    step_plain = make_student_train_step(model, cfg, out_hw=(64, 64))
+    step_scaled = make_student_train_step(model, cfg, out_hw=(64, 64),
+                                          dynamic_loss_scale=True)
+
+    plain, mp = step_plain(plain, batch)
+    scaled, ms = step_scaled(scaled, batch)
+    assert float(ms["overflow"]) == 0.0
+    assert float(ms["loss"]) == pytest.approx(float(mp["loss"]), rel=1e-6)
+    fp, fs = flatten_dict(plain.params), flatten_dict(scaled.params)
+    for path in fp:
+        np.testing.assert_allclose(np.asarray(fs[path]),
+                                   np.asarray(fp[path]),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(path))
+
+    # overflow batch: params and momentum untouched, scale halves
+    bad = dict(batch)
+    bad["img"] = batch["img"].copy()
+    bad["img"][0, 0, 0, 0] = np.inf
+    before_p = jax.device_get(scaled.params)
+    before_o = jax.device_get(scaled.opt_state)
+    before_scale = float(scaled.scaler.scale)
+    scaled, m_bad = step_scaled(scaled, bad)
+    assert float(m_bad["overflow"]) == 1.0
+    assert float(scaled.scaler.scale) == before_scale / 2
+    for path, val in flatten_dict(before_p).items():
+        np.testing.assert_array_equal(
+            np.asarray(flatten_dict(jax.device_get(scaled.params))[path]),
+            np.asarray(val))
+    after_o = jax.device_get(scaled.opt_state)
+    for a, b in zip(jax.tree_util.tree_leaves(before_o),
+                    jax.tree_util.tree_leaves(after_o)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
