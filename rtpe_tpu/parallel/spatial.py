@@ -73,3 +73,28 @@ def shard_spatial(x: jax.Array, mesh: Mesh,
     """Device-put (B, H, W, C) with H sharded over ``axis_name``."""
     return jax.device_put(
         x, NamedSharding(mesh, P(None, axis_name)))
+
+
+def sharded_stem_apply(variables, x: jax.Array, mesh: Mesh,
+                       axis_name: str = "model") -> jax.Array:
+    """The W48 teacher stem (conv1-bn1-relu, conv2-bn2-relu; reference
+    ``pose_higher_hrnet.py:362-370``) with activations H-sharded over
+    the ``model`` axis — the inference entry for inputs so large (>1k
+    px) that the stem activations exceed one chip's HBM.  Inference BN
+    is per-channel affine, so only the 3x3 stride-2 convolutions need
+    the halo exchange; output equals the unsharded stem exactly
+    (``tests/test_spatial_stem.py``).
+
+    :param variables: canonical ``PoseHigherHRNet`` variables.
+    :param x: (B, H, W, 3), H divisible by 4 * mesh.shape[axis_name].
+    :returns: (B, H/4, W/4, 64) stem features, H-sharded.
+    """
+    p, s = variables["params"], variables["batch_stats"]
+    x = shard_spatial(x.astype(jnp.float32), mesh, axis_name)
+    for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2")):
+        x = halo_conv(x, p[conv_name]["kernel"].astype(x.dtype), mesh,
+                      axis_name, stride=2)
+        bn_p, bn_s = p[bn_name], s[bn_name]
+        g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+        x = jax.nn.relu((x - bn_s["mean"]) * g + bn_p["bias"])
+    return x

@@ -1,0 +1,79 @@
+"""Spatial (context-parallel analog) sharding through a real model
+stage: the W48 stem at >1k px, H-sharded over the mesh ``model`` axis,
+must equal the unsharded canonical forward exactly (VERDICT r1 item 10;
+SURVEY.md §5.7).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rtpe_tpu.models import PoseHigherHRNet, w48_config
+from rtpe_tpu.parallel import make_mesh
+from rtpe_tpu.parallel.spatial import halo_conv, sharded_stem_apply, \
+    shard_spatial
+
+
+def _canonical_stem(variables, x):
+    """Unsharded reference: the exact ops of PoseHigherHRNet's stem
+    (fp32, eval BN)."""
+    p, s = variables["params"], variables["batch_stats"]
+    x = x.astype(jnp.float32)
+    for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2")):
+        x = jax.lax.conv_general_dilated(
+            x, p[conv_name]["kernel"].astype(jnp.float32), (2, 2),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        bn_p, bn_s = p[bn_name], s[bn_name]
+        g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + 1e-5)
+        x = jax.nn.relu((x - bn_s["mean"]) * g + bn_p["bias"])
+    return x
+
+
+def test_sharded_stem_equals_unsharded_at_1k_px():
+    mesh = make_mesh(n_data=2, n_model=4)
+    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 128, 3))
+
+    want = _canonical_stem(v, x)
+    got = sharded_stem_apply(v, x, mesh, "model")
+    assert got.shape == (1, 256, 32, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # the result is genuinely H-sharded 4 ways over the model axis
+    shard_h = got.addressable_shards[0].data.shape[1]
+    assert shard_h == 256 // 4, shard_h
+
+
+def test_canonical_stem_matches_flax_model():
+    """The test's reference stem is the model's actual stem: compare
+    against the flax module's captured bn2 intermediate."""
+    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    _, inter = model.apply(
+        v, x, train=False, capture_intermediates=True, mutable=["intermediates"])
+    bn2_out = inter["intermediates"]["bn2"]["__call__"][0]
+    want = jax.nn.relu(bn2_out.astype(jnp.float32))
+    got = _canonical_stem(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_halo_conv_stride2_matches_dense():
+    mesh = make_mesh(n_data=2, n_model=4)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 24, 6).astype(np.float32))
+    k = jnp.asarray(rng.rand(3, 3, 6, 8).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = halo_conv(shard_spatial(x, mesh, "model"), k, mesh, "model",
+                    stride=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
