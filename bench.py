@@ -39,7 +39,7 @@ def log(msg):
 
 
 TORCH_BASELINE_IMG_S = 9.3  # see module docstring
-SCAN_LEN = 5
+SCAN_LEN = 10
 
 
 def _scan_throughput(fwd, args0, bs, hw, wd, reps=3, in_ch=3):
@@ -101,7 +101,7 @@ def main():
 
     # --- headline: packed serving forward
     best, best_bs = 0.0, 0
-    for bs in (32, 16):
+    for bs in (64, 32):
         if best > 0 and time.time() > deadline:
             log(f"packed bs={bs}: skipped (budget)")
             continue

@@ -203,14 +203,29 @@ def _bottleneck(pk, name, x, dtype):
     return jax.nn.relu(out + residual)
 
 
-def _module(pk, pfx, scfg, xs, mso, dtype):
+def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False):
     nb = scfg.num_branches
     ys: List[jax.Array] = []
     for i in range(nb):
         x = xs[i]
-        for j in range(scfg.num_blocks[i]):
-            x = _basic_block(pk, f"{pfx}/branch{i}_{j}", x, dtype,
-                             packed=i == 0)
+        if pallas_chains and i > 0:
+            # fuse the whole branch chain into one VMEM-resident kernel
+            # (ops/pallas_blocks.py); branch 0 (row-packed) stays on the
+            # XLA path, where it already runs near compute-bound
+            from ..ops.pallas_blocks import basicblock_chain
+            w = jnp.stack([
+                jnp.stack([pk[f"{pfx}/branch{i}_{j}/conv1"][0],
+                           pk[f"{pfx}/branch{i}_{j}/conv2"][0]])
+                for j in range(scfg.num_blocks[i])])
+            bias = jnp.stack([
+                jnp.stack([pk[f"{pfx}/branch{i}_{j}/conv1"][1],
+                           pk[f"{pfx}/branch{i}_{j}/conv2"][1]])
+                for j in range(scfg.num_blocks[i])])
+            x = basicblock_chain(x, w, bias)
+        else:
+            for j in range(scfg.num_blocks[i]):
+                x = _basic_block(pk, f"{pfx}/branch{i}_{j}", x, dtype,
+                                 packed=i == 0)
         ys.append(x)
     if nb == 1:
         return ys
@@ -244,10 +259,21 @@ def _module(pk, pfx, scfg, xs, mso, dtype):
 
 def packed_forward(pk: PackedParams, x: jax.Array,
                    cfg: HRNetConfig = None,
-                   dtype: Dtype = jnp.bfloat16
+                   dtype: Dtype = jnp.bfloat16,
+                   pallas_chains: bool = False
                    ) -> Tuple[jax.Array, jax.Array]:
     """Inference forward, same outputs as the canonical model's
-    ``apply(variables, x, train=False)``: ``(coarse, refined)``."""
+    ``apply(variables, x, train=False)``: ``(coarse, refined)``.
+
+    ``pallas_chains`` fuses the lower-resolution branch block chains
+    into single VMEM-resident kernels (``ops/pallas_blocks.py``).
+    Default OFF: measured on v5e at bs16@640, the fused chain wins in
+    isolation on the (80,80,96) branch (1.37 vs 2.4 ms cold) but the
+    whole forward regresses 71.8 -> 79.4 ms because XLA already keeps
+    the small branches efficient in context and the kernel boundary
+    blocks fuse-layer fusion (f32 materializations appear around it).
+    Kept as an option for future shapes where per-op dispatch dominates.
+    """
     cfg = cfg or w48_config()
     _check_cfg(cfg)
     x = x.astype(dtype)
@@ -265,18 +291,21 @@ def packed_forward(pk: PackedParams, x: jax.Array,
                      ).astype(dtype)
     xs = [x0, x1]
     for m in range(cfg.stage2.num_modules):
-        xs = _module(pk, f"stage2_{m}", cfg.stage2, xs, True, dtype)
+        xs = _module(pk, f"stage2_{m}", cfg.stage2, xs, True, dtype,
+                     pallas_chains)
 
     xs.append(jax.nn.relu(_conv(xs[-1], pk["transition2_2_0"], stride=2)
                           ).astype(dtype))
     for m in range(cfg.stage3.num_modules):
-        xs = _module(pk, f"stage3_{m}", cfg.stage3, xs, True, dtype)
+        xs = _module(pk, f"stage3_{m}", cfg.stage3, xs, True, dtype,
+                     pallas_chains)
 
     xs.append(jax.nn.relu(_conv(xs[-1], pk["transition3_3_0"], stride=2)
                           ).astype(dtype))
     for m in range(cfg.stage4.num_modules):
         mso = m < cfg.stage4.num_modules - 1
-        xs = _module(pk, f"stage4_{m}", cfg.stage4, xs, mso, dtype)
+        xs = _module(pk, f"stage4_{m}", cfg.stage4, xs, mso, dtype,
+                     pallas_chains)
 
     # heads (all packed; unpack only the outputs)
     x0 = xs[0]
