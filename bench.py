@@ -31,6 +31,13 @@ import os
 import sys
 import time
 
+# The persistent XLA compile cache hangs indefinitely on this tunneled
+# TPU backend when it *loads* large (~25 MB) serialized executables —
+# a fresh bs-128 W48 compile takes ~80 s, but replaying its cache entry
+# never returns (measured).  The bench must never wedge the driver, so
+# it opts out of the cache before rtpe_tpu configures it.
+os.environ.setdefault("RTPE_NO_XLA_CACHE", "1")
+
 import numpy as np
 
 
@@ -86,7 +93,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "420"))
+        os.environ.get("RTPE_BENCH_BUDGET_S", "540"))
     wd = CompileWatchdog(interval=90.0).start()
 
     cfg = w48_config()
@@ -99,12 +106,10 @@ def main():
 
     extra = {}
 
-    # --- headline: packed serving forward
+    # --- headline: packed serving forward (bs128 is the measured sweet
+    # spot; 64 is only a fallback if the big batch fails to fit/compile)
     best, best_bs = 0.0, 0
-    for bs in (64, 32):
-        if best > 0 and time.time() > deadline:
-            log(f"packed bs={bs}: skipped (budget)")
-            continue
+    for bs in (128, 64):
         try:
             log(f"packed forward bs={bs}:")
             img_s = _scan_throughput(
@@ -112,21 +117,9 @@ def main():
             log(f"  {img_s:.1f} img/s")
             if img_s > best:
                 best, best_bs = img_s, bs
+            break  # smaller batches are strictly slower (measured)
         except Exception as e:
             log(f"packed bs={bs} failed: {str(e)[:160]}")
-
-    # --- extra: canonical (training-surface) forward
-    try:
-        if time.time() > deadline:
-            raise TimeoutError("budget")
-        log("canonical forward bs=16:")
-        img_s = _scan_throughput(
-            lambda v, x: model.apply(v, x, train=False), variables, 16,
-            640, wd)
-        log(f"  {img_s:.1f} img/s")
-        extra["canonical_forward_img_s_bs16"] = round(img_s, 1)
-    except Exception as e:
-        log(f"canonical bench skipped: {str(e)[:120]}")
 
     # --- extra: full distillation train step (reference config bs16@450)
     try:
@@ -243,6 +236,19 @@ def main():
         extra["decode_ms_per_img_batch8_crowded"] = round(dt / B * 1e3, 1)
     except Exception as e:
         log(f"decode bench skipped: {str(e)[:120]}")
+
+    # --- extra (lowest priority): canonical (training-surface) forward
+    try:
+        if time.time() > deadline:
+            raise TimeoutError("budget")
+        log("canonical forward bs=16:")
+        img_s = _scan_throughput(
+            lambda v, x: model.apply(v, x, train=False), variables, 16,
+            640, wd)
+        log(f"  {img_s:.1f} img/s")
+        extra["canonical_forward_img_s_bs16"] = round(img_s, 1)
+    except Exception as e:
+        log(f"canonical bench skipped: {str(e)[:120]}")
 
     wd.stop()
     result = {

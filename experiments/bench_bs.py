@@ -14,7 +14,7 @@ v = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
 pk = jax.jit(lambda v: pack_w48_params(v, cfg))(v)
 wd.alive()
 
-for bs in (32, 48, 64):
+for bs in (192, 256):
     try:
         @jax.jit
         def loop(a, x):

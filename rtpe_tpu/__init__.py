@@ -39,11 +39,21 @@ __version__ = "0.1.0"
 
 
 def _enable_persistent_compilation_cache():
-    """First compiles cost 30-180 s on TPU; cache executables on disk so
-    every process after the first pays ~nothing for known shapes.
-    Opt out with RTPE_NO_XLA_CACHE=1."""
+    """First compiles cost 30-180 s; cache executables on disk so every
+    process after the first pays ~nothing for known shapes.
+
+    Enabled by default only when the process targets the CPU platform
+    (``JAX_PLATFORMS=cpu`` — the test/dryrun configuration).  On the
+    tunneled TPU backend in this environment, *loading* a cached
+    (AOT-serialized) executable can hang indefinitely or diverge when
+    the terminal's libtpu build differs from the client's (the tunnel
+    reports exactly this skew), so TPU processes must opt in with
+    RTPE_XLA_CACHE=1.  Opt out everywhere with RTPE_NO_XLA_CACHE=1."""
     import os
     if os.environ.get("RTPE_NO_XLA_CACHE"):
+        return
+    cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if not (cpu or os.environ.get("RTPE_XLA_CACHE")):
         return
     try:
         import jax

@@ -46,6 +46,37 @@ def test_pipeline_batch_shapes_and_geometry(tmp_path):
             assert frac > 0.6, f"sample {i}: heatmaps not aligned to segm"
 
 
+def test_pipeline_compact_transfer_matches_full(tmp_path):
+    """Compact host->device transfer (uint8 images/masks, f16 teacher
+    maps) must reproduce the full-precision stream: images to a ulp
+    (the uint8/255 round-trip is value-exact; XLA lowers the on-device
+    /255 as a reciprocal multiply, so the last bit can differ from the
+    host's division), teacher maps to f16 quantization."""
+    root = str(tmp_path)
+    _make_coco_fixture(root, n_imgs=2, hw=(96, 128))
+    ds = CocoDistillationDataset(root, "val2017",
+                                 remove_images_without_annotations=True)
+
+    def run(compact):
+        pipe = TrainPipeline(ds, batch_size=2, out_hw=(48, 48),
+                             canvas_hw=(128, 160), seed=3,
+                             compact_transfer=compact)
+        return {k: np.asarray(v) for k, v in next(iter(pipe)).items()}
+
+    a, b = run(True), run(False)
+    assert set(a) == set(b)
+    np.testing.assert_allclose(a["img"], b["img"], atol=1e-5)
+    np.testing.assert_allclose(a["img_alt"], b["img_alt"],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(a["mask"], b["mask"])
+    np.testing.assert_array_equal(a["segm_mask"], b["segm_mask"])
+    np.testing.assert_array_equal(a["gt_hms"], b["gt_hms"])
+    np.testing.assert_allclose(a["teacher_hms"], b["teacher_hms"],
+                               atol=2e-3)
+    np.testing.assert_allclose(a["teacher_ae"], b["teacher_ae"],
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_pipeline_deterministic_with_seed(tmp_path):
     root = str(tmp_path)
     _make_coco_fixture(root, n_imgs=2, hw=(96, 128))

@@ -136,9 +136,13 @@ def test_parallel_loader_content_matches_dataset(synthetic_coco):
     for k in range(imgs.shape[0]):
         s = ds[k]
         h, w = s["img"].shape[:2]
-        np.testing.assert_array_equal(imgs[k, :h, :w], s["img"])
-        np.testing.assert_array_equal(t_hms[k, :h, :w],
-                                      s["teacher_hms"])
+        # compact transfer ships uint8 canvases (exact uint8/255
+        # round-trip) and f16 teacher maps
+        np.testing.assert_array_equal(
+            imgs[k, :h, :w],
+            (s["img"] * 255.0 + 0.5).astype(imgs.dtype))
+        np.testing.assert_allclose(t_hms[k, :h, :w],
+                                   s["teacher_hms"], atol=2e-3)
         assert img_ids[k] == s["img_id"]
 
 
