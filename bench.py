@@ -15,9 +15,18 @@ the 8 GB single GPU the author trained on (README.md:36).  The target
 from BASELINE.json is >=10x that baseline.
 
 ``extra`` records the other driver-captured numbers (VERDICT.md r1
-items 3-4): the canonical (un-packed) forward, the full dual-optimizer
-distillation train step at the reference's config (bs16 @450,
-``scripts/distillation.py`` defaults), and decode latency/throughput.
+items 3-4): the int8 serving path, the canonical (un-packed) forward,
+the full dual-optimizer distillation train step at the reference's
+config (bs16 @450, ``scripts/distillation.py`` defaults), and decode
+latency/throughput.
+
+Reliability: each section runs in its OWN SUBPROCESS with a timeout and
+one retry.  The remote-compile service of this environment's tunneled
+TPU backend wedges a process's compilation indefinitely in ~half of
+launches (see .claude/skills/verify/SKILL.md); parallel-client pokes
+(utils/watchdog.py) no longer reliably flush it, so kill+retry at the
+process level is the only dependable cure.  A wedged section costs its
+timeout, never the whole bench.
 
 Measurement notes: some execution backends cache identical dispatches,
 so each timed run chains N forwards inside one jitted ``lax.scan`` with
@@ -28,6 +37,7 @@ fake.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -47,9 +57,20 @@ def log(msg):
 
 TORCH_BASELINE_IMG_S = 9.3  # see module docstring
 SCAN_LEN = 10
+_FILE = os.path.abspath(__file__)
+
+# per-section subprocess timeouts (compile ~30-130 s when healthy;
+# a wedge never returns, so the timeout is the only bound that matters)
+SECTION_TIMEOUT = {
+    "headline": 300,
+    "int8": 280,
+    "train": 260,
+    "decode": 200,
+    "canonical": 260,
+}
 
 
-def _scan_throughput(fwd, args0, bs, hw, wd, reps=3, in_ch=3):
+def _scan_throughput(fwd, args0, bs, hw, reps=3, in_ch=3):
     """Scan-chained, cache-proof img/s for ``fwd(args0, x)``."""
     import jax
     import jax.numpy as jnp
@@ -69,12 +90,15 @@ def _scan_throughput(fwd, args0, bs, hw, wd, reps=3, in_ch=3):
     t0 = time.time()
     jax.device_get(loop(args0, x))
     log(f"  compile+first {time.time() - t0:.1f}s")
-    wd.alive()
     times = []
     for t in range(reps):
         x2 = jax.random.normal(jax.random.PRNGKey(61 + t),
                                (bs, hw, hw, in_ch), jnp.float32)
-        jax.device_get(x2)
+        # force x2 to finish WITHOUT pulling it to the host: fetching a
+        # dependent scalar syncs on the relay (block_until_ready does
+        # not), while device_get of the full 600+ MB input would take
+        # tens of seconds through the tunnel
+        jax.device_get(jnp.sum(x2))
         t0 = time.time()
         jax.device_get(loop(args0, x2))
         times.append(time.time() - t0)
@@ -82,185 +106,301 @@ def _scan_throughput(fwd, args0, bs, hw, wd, reps=3, in_ch=3):
     return bs * SCAN_LEN / dt
 
 
-def main():
+def _teacher_setup():
     import jax
     import jax.numpy as jnp
 
     from rtpe_tpu.models import (
-        PoseHigherHRNet, pack_w48_params, packed_forward, w48_config)
-    from rtpe_tpu.utils.watchdog import CompileWatchdog
-
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
-    deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "540"))
-    wd = CompileWatchdog(interval=90.0).start()
+        PoseHigherHRNet, pack_w48_params, w48_config)
 
     cfg = w48_config()
     model = PoseHigherHRNet(cfg=cfg, dtype=jnp.bfloat16)
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                            train=False))()
+    return cfg, model, variables
+
+
+# ------------------------------------------------------------- sections
+
+def section_headline():
+    import jax
+
+    from rtpe_tpu.models import pack_w48_params, packed_forward
+
+    cfg, model, variables = _teacher_setup()
     pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
-    wd.alive()
-
-    extra = {}
-
-    # --- headline: packed serving forward (bs128 is the measured sweet
-    # spot; 64 is only a fallback if the big batch fails to fit/compile)
-    best, best_bs = 0.0, 0
-    for bs in (128, 64):
+    for bs in (128, 64):  # 64 only if the big batch fails to fit
         try:
             log(f"packed forward bs={bs}:")
             img_s = _scan_throughput(
-                lambda a, x: packed_forward(a, x, cfg), pk, bs, 640, wd)
+                lambda a, x: packed_forward(a, x, cfg), pk, bs, 640)
             log(f"  {img_s:.1f} img/s")
-            if img_s > best:
-                best, best_bs = img_s, bs
-            break  # smaller batches are strictly slower (measured)
+            return {"value": round(img_s, 2), "bs": bs}
         except Exception as e:
             log(f"packed bs={bs} failed: {str(e)[:160]}")
+    raise RuntimeError("no packed batch size worked")
 
-    # --- extra: full distillation train step (reference config bs16@450)
-    try:
-        if time.time() > deadline:
-            raise TimeoutError("budget")
-        from rtpe_tpu.models import AttentionStudentSteps
-        from rtpe_tpu.train import (
-            DistillConfig, DistillTrainState, make_distill_train_step)
 
-        student = AttentionStudentSteps(
-            inplanes=80, num_heatmaps=17, ae_dims=0,
-            detach_att_for_det=True, dtype=jnp.bfloat16)
-        bs, hw = 16, 450  # the reference's training size (even suffices)
-        x0 = jnp.zeros((1, hw, hw, 3))
-        sv = jax.jit(lambda: student.init(
-            jax.random.PRNGKey(0), x0, x0, train=False))()
-        dcfg = DistillConfig()
-        state = DistillTrainState.create(sv, dcfg)
-        step_fn = make_distill_train_step(student, dcfg)
-        rng = np.random.RandomState(0)
-        batch = {
-            "img": rng.rand(bs, hw, hw, 3).astype(np.float32),
-            "img_alt": rng.rand(bs, hw, hw, 3).astype(np.float32),
-            "segm_mask": np.ones((bs, hw, hw, 1), np.float32),
-            "gt_hms": np.zeros((bs, hw, hw, 17), np.float32),
-            "teacher_hms": rng.rand(bs, hw, hw, 17).astype(np.float32),
-            "mask": np.ones((bs, hw, hw, 1), np.float32),
-        }
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+def section_int8():
+    """int8 serving path (per-channel weight quant + static activation
+    scales; ops/quant.py).  Quantized numerics — reported beside, not
+    as, the bf16 headline."""
+    import jax
 
-        @jax.jit
-        def train_loop(state, batch):
-            def body(carry, _):
-                st, b = carry
-                st, metrics = step_fn(st, b)
-                # data dependency: perturb the input with the loss
-                b = dict(b)
-                b["img"] = b["img"] + metrics["keypoints_loss"] * 1e-12
-                return (st, b), metrics["keypoints_loss"]
-            (state, _), losses = jax.lax.scan(
-                body, (state, batch), None, length=SCAN_LEN)
-            return losses
+    from rtpe_tpu.models import (
+        calibrate_act_scales, pack_w48_params, packed_forward,
+        quantize_packed)
 
+    cfg, model, variables = _teacher_setup()
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    t0 = time.time()
+    # the bench model is a fixed PRNGKey(0) init, so its activation
+    # scales are deterministic: use the baked calibration (saved by
+    # this very path) and only re-calibrate if it's missing — the
+    # CPU capture compile costs 60-150 s
+    scales_path = os.path.join(os.path.dirname(_FILE), "experiments",
+                               "bench_act_scales.json")
+    if os.path.exists(scales_path):
+        with open(scales_path) as f:
+            scales = json.load(f)
+        src = "baked"
+    else:
+        scales = calibrate_act_scales(
+            pk, [jax.random.normal(jax.random.PRNGKey(9),
+                                   (1, 320, 320, 3))], cfg)
+        with open(scales_path, "w") as f:
+            json.dump(scales, f)
+        src = "calibrated"
+    # one jitted program: per-layer host dispatches cost ~30 ms each
+    # through the tunnel (~90 s for 303 layers)
+    pkq = jax.jit(lambda p: quantize_packed(p, scales))(pk)
+    log(f"int8 quantize ({src}): {time.time() - t0:.1f}s "
+        f"({len(scales)} convs)")
+    bs = 128
+    log(f"int8 packed forward bs={bs}:")
+    img_s = _scan_throughput(
+        lambda a, x: packed_forward(a, x, cfg), pkq, bs, 640)
+    log(f"  {img_s:.1f} img/s")
+    return {f"int8_forward_img_s_bs{bs}": round(img_s, 1)}
+
+
+def section_train():
+    """Full distillation train step at the reference config bs16@450."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.models import AttentionStudentSteps
+    from rtpe_tpu.train import (
+        DistillConfig, DistillTrainState, make_distill_train_step)
+
+    student = AttentionStudentSteps(
+        inplanes=80, num_heatmaps=17, ae_dims=0,
+        detach_att_for_det=True, dtype=jnp.bfloat16)
+    bs, hw = 16, 450  # the reference's training size (even suffices)
+    x0 = jnp.zeros((1, hw, hw, 3))
+    sv = jax.jit(lambda: student.init(
+        jax.random.PRNGKey(0), x0, x0, train=False))()
+    dcfg = DistillConfig()
+    state = DistillTrainState.create(sv, dcfg)
+    step_fn = make_distill_train_step(student, dcfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": rng.rand(bs, hw, hw, 3).astype(np.float32),
+        "img_alt": rng.rand(bs, hw, hw, 3).astype(np.float32),
+        "segm_mask": np.ones((bs, hw, hw, 1), np.float32),
+        "gt_hms": np.zeros((bs, hw, hw, 17), np.float32),
+        "teacher_hms": rng.rand(bs, hw, hw, 17).astype(np.float32),
+        "mask": np.ones((bs, hw, hw, 1), np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @jax.jit
+    def train_loop(state, batch):
+        def body(carry, _):
+            st, b = carry
+            st, metrics = step_fn(st, b)
+            # data dependency: perturb the input with the loss
+            b = dict(b)
+            b["img"] = b["img"] + metrics["keypoints_loss"] * 1e-12
+            return (st, b), metrics["keypoints_loss"]
+        (state, _), losses = jax.lax.scan(
+            body, (state, batch), None, length=SCAN_LEN)
+        return losses
+
+    t0 = time.time()
+    jax.device_get(train_loop(state, batch))
+    log(f"train step: compile+first {time.time() - t0:.1f}s")
+    times = []
+    for t in range(3):
+        b2 = dict(batch)
+        b2["img"] = jnp.asarray(
+            rng.rand(bs, hw, hw, 3).astype(np.float32))
+        jax.device_get(jnp.sum(b2["img"]))  # sync, not a full pull
         t0 = time.time()
-        jax.device_get(train_loop(state, batch))
-        log(f"train step: compile+first {time.time() - t0:.1f}s")
-        wd.alive()
-        times = []
-        for t in range(3):
-            b2 = dict(batch)
-            b2["img"] = jnp.asarray(
-                rng.rand(bs, hw, hw, 3).astype(np.float32))
-            jax.device_get(b2["img"])
-            t0 = time.time()
-            jax.device_get(train_loop(state, b2))
-            times.append(time.time() - t0)
-        img_s = bs * SCAN_LEN / min(times)
-        log(f"train step: {img_s:.1f} img/s (bs16 @{hw})")
-        extra["distill_step_img_s_bs16_450"] = round(img_s, 1)
-    except Exception as e:
-        log(f"train bench skipped: {str(e)[:160]}")
+        jax.device_get(train_loop(state, b2))
+        times.append(time.time() - t0)
+    img_s = bs * SCAN_LEN / min(times)
+    log(f"train step: {img_s:.1f} img/s (bs16 @{hw})")
+    return {"distill_step_img_s_bs16_450": round(img_s, 1)}
 
-    # --- extra: decode (production parse_batch: top-k+adjust dispatch,
-    # fast host grouping, filtered batched device refine).  Note the
-    # tunnel in this environment has a ~30 ms fixed round trip per
-    # dispatch (a trivial jit+device_get costs that much), which floors
-    # any single-image blocking latency; the batched amortized number is
-    # the honest per-image decode cost.
+
+def section_decode():
+    """Production parse_batch: top-k+adjust dispatch, fast host
+    grouping, filtered batched device refine.  The tunnel here has a
+    ~30 ms fixed round trip per dispatch, which floors any single-image
+    blocking latency; the batched amortized number is the honest
+    per-image decode cost."""
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode import HeatmapParser
+
+    out = {}
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+    rng2 = np.random.RandomState(0)
+
+    # single sparse image (round-1-comparable number)
+    det = np.clip(rng2.rand(1, 320, 320, 17) * 0.2, 0, 1
+                  ).astype(np.float32)
+    det[0, 100:103, 100:103, :] = 1.0
+    tag = np.zeros((1, 320, 320, 17), np.float32)
+    dj, tj = jnp.asarray(det), jnp.asarray(tag)
+    parser.parse_batch(dj, tj)  # compile
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        parser.parse_batch(dj, tj)
+        times.append(time.time() - t0)
+    p50 = float(np.median(times) * 1e3)
+    log(f"decode p50: {p50:.1f} ms (320x320x17, single image, "
+        f"incl ~30 ms tunnel round trip)")
+    out["decode_p50_ms_320"] = round(p50, 1)
+
+    # batched crowded decode: 8 images x ~30 people
+    B = 8
+    detb = np.clip(rng2.rand(B, 320, 320, 17) * 0.2, 0, 1
+                   ).astype(np.float32)
+    for b in range(B):
+        for _ in range(6):
+            i, j = rng2.randint(5, 310, 2)
+            detb[b, i:i + 3, j:j + 3, :] = rng2.rand() * 0.5 + 0.5
+    tagb = (rng2.randn(B, 320, 320, 17) * 0.1).astype(np.float32)
+    djb, tjb = jnp.asarray(detb), jnp.asarray(tagb)
+    ansb, _ = parser.parse_batch(djb, tjb)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        parser.parse_batch(djb, tjb)
+        times.append(time.time() - t0)
+    dt = min(times)
+    log(f"decode batched: {B / dt:.1f} img/s "
+        f"({dt / B * 1e3:.1f} ms/img, batch={B}, "
+        f"{len(ansb[0])} people/img)")
+    out["decode_img_s_batch8_crowded"] = round(B / dt, 1)
+    out["decode_ms_per_img_batch8_crowded"] = round(dt / B * 1e3, 1)
+    return out
+
+
+def section_canonical():
+    """Canonical (training-surface) forward."""
+    cfg, model, variables = _teacher_setup()
+    log("canonical forward bs=16:")
+    img_s = _scan_throughput(
+        lambda v, x: model.apply(v, x, train=False), variables, 16, 640)
+    log(f"  {img_s:.1f} img/s")
+    return {"canonical_forward_img_s_bs16": round(img_s, 1)}
+
+
+SECTIONS = {
+    "headline": section_headline,
+    "int8": section_int8,
+    "train": section_train,
+    "decode": section_decode,
+    "canonical": section_canonical,
+}
+
+
+# --------------------------------------------------------- orchestrator
+
+def _run_section_subprocess(name):
+    """Run one section in a child process; return its dict or None."""
+    timeout = SECTION_TIMEOUT[name]
     try:
-        if time.time() > deadline:
-            raise TimeoutError("budget")
-        from rtpe_tpu.decode import HeatmapParser
-        parser = HeatmapParser(num_joints=17, max_num_people=30)
-        rng2 = np.random.RandomState(0)
-
-        # single sparse image (round-1-comparable number)
-        det = np.clip(rng2.rand(1, 320, 320, 17) * 0.2, 0, 1
-                      ).astype(np.float32)
-        det[0, 100:103, 100:103, :] = 1.0
-        tag = np.zeros((1, 320, 320, 17), np.float32)
-        dj, tj = jnp.asarray(det), jnp.asarray(tag)
-        parser.parse_batch(dj, tj)  # compile
-        times = []
-        for _ in range(10):
-            t0 = time.time()
-            parser.parse_batch(dj, tj)
-            times.append(time.time() - t0)
-        p50 = float(np.median(times) * 1e3)
-        log(f"decode p50: {p50:.1f} ms (320x320x17, single image, "
-            f"incl ~30 ms tunnel round trip)")
-        extra["decode_p50_ms_320"] = round(p50, 1)
-
-        # batched crowded decode: 8 images x ~30 people
-        B = 8
-        detb = np.clip(rng2.rand(B, 320, 320, 17) * 0.2, 0, 1
-                       ).astype(np.float32)
-        for b in range(B):
-            for _ in range(6):
-                i, j = rng2.randint(5, 310, 2)
-                detb[b, i:i + 3, j:j + 3, :] = rng2.rand() * 0.5 + 0.5
-        tagb = (rng2.randn(B, 320, 320, 17) * 0.1).astype(np.float32)
-        djb, tjb = jnp.asarray(detb), jnp.asarray(tagb)
-        ansb, _ = parser.parse_batch(djb, tjb)
-        times = []
-        for _ in range(5):
-            t0 = time.time()
-            parser.parse_batch(djb, tjb)
-            times.append(time.time() - t0)
-        dt = min(times)
-        log(f"decode batched: {B / dt:.1f} img/s "
-            f"({dt / B * 1e3:.1f} ms/img, batch={B}, "
-            f"{len(ansb[0])} people/img)")
-        extra["decode_img_s_batch8_crowded"] = round(B / dt, 1)
-        extra["decode_ms_per_img_batch8_crowded"] = round(dt / B * 1e3, 1)
-    except Exception as e:
-        log(f"decode bench skipped: {str(e)[:120]}")
-
-    # --- extra (lowest priority): canonical (training-surface) forward
+        res = subprocess.run(
+            [sys.executable, _FILE, "--section", name],
+            stdout=subprocess.PIPE, stderr=None,  # logs flow through
+            timeout=timeout, cwd=os.path.dirname(_FILE))
+    except subprocess.TimeoutExpired:
+        log(f"[{name}] TIMED OUT after {timeout}s (wedged compile?) — "
+            f"killed")
+        return None
+    if res.returncode != 0:
+        log(f"[{name}] exited rc={res.returncode}")
+        return None
     try:
-        if time.time() > deadline:
-            raise TimeoutError("budget")
-        log("canonical forward bs=16:")
-        img_s = _scan_throughput(
-            lambda v, x: model.apply(v, x, train=False), variables, 16,
-            640, wd)
-        log(f"  {img_s:.1f} img/s")
-        extra["canonical_forward_img_s_bs16"] = round(img_s, 1)
+        line = res.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)
     except Exception as e:
-        log(f"canonical bench skipped: {str(e)[:120]}")
+        log(f"[{name}] unparseable output: {e}")
+        return None
 
-    wd.stop()
-    result = {
+
+def _result_json(headline, extra):
+    best = headline["value"] if headline else 0.0
+    best_bs = headline["bs"] if headline else 0
+    return {
         "metric": "w48_teacher_images_per_sec_per_chip_640_bf16",
-        "value": round(best, 2),
+        "value": best,
         "unit": f"img/s (batch={best_bs}, packed serving path, "
                 f"scan-chained, cache-proof)",
         "vs_baseline": round(best / TORCH_BASELINE_IMG_S, 2),
         "extra": extra,
     }
-    print(json.dumps(result))
+
+
+def main():
+    import signal
+
+    import jax
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    deadline = time.time() + float(
+        os.environ.get("RTPE_BENCH_BUDGET_S", "540"))
+
+    headline = None
+    extra = {}
+
+    # if the caller TERMs us mid-run (driver timeout), still emit the
+    # one-JSON-line contract with everything collected so far
+    def _flush(signum, frame):
+        log("SIGTERM: flushing partial result")
+        print(json.dumps(_result_json(headline, extra)), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _flush)
+    # the headline is the contract: keep retrying it while anything
+    # remains of the budget (each attempt is bounded by its timeout)
+    for attempt in range(4):
+        headline = _run_section_subprocess("headline")
+        if headline is not None:
+            break
+        log(f"headline attempt {attempt + 1} failed; retrying")
+    for name in ("int8", "train", "decode", "canonical"):
+        if time.time() > deadline:
+            log(f"[{name}] skipped (budget)")
+            continue
+        got = _run_section_subprocess(name)
+        if got is None:  # one retry per extra section
+            log(f"[{name}] retrying once")
+            got = _run_section_subprocess(name)
+        if got is not None:
+            extra.update(got)
+
+    print(json.dumps(_result_json(headline, extra)))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        print(json.dumps(SECTIONS[sys.argv[2]]()))
+    else:
+        main()

@@ -163,24 +163,151 @@ def pack_w48_params(variables, cfg: HRNetConfig = None,
     return out
 
 
-# ---------------------------------------------------------------- forward
+# ------------------------------------------------------------- int8 path
 
-def _conv(x, wb, stride=1, pad=None):
-    """Dense folded conv; f32 accumulate + bias, caller casts."""
-    w, b = wb
-    kh, kw = w.shape[0], w.shape[1]
-    if pad is None:
-        pad = (kh - 1) // 2
+def calibrate_act_scales(pk: PackedParams, xs, cfg: HRNetConfig = None,
+                         dtype: Dtype = jnp.bfloat16,
+                         on_cpu: bool = True) -> Dict[str, float]:
+    """Per-conv input abs-max over calibration batches ``xs``.
+
+    One jitted capture forward per batch: every conv's input abs-max is
+    collected as an auxiliary output (the _CalibEntry hook in
+    ``_apply``), then reduced across batches on the host.  Feed a few
+    representative batches; with none available, one random batch still
+    produces a working (if loose) scale set.
+
+    ``on_cpu`` (default) runs the capture on the CPU backend: the ~300
+    mid-graph outputs block XLA:TPU fusion and blow its compile time to
+    minutes (measured 192 s at 96 px), while XLA:CPU compiles it in
+    seconds — and calibration is a one-time load-time pass whose
+    numbers don't depend on the device.
+    """
+    cfg = cfg or w48_config()
+
+    @jax.jit
+    def capture(x):
+        store: Dict[str, jax.Array] = {}
+        pkc = {k: _CalibEntry(w, b, k, store)
+               for k, (w, b) in pk.items()}
+        packed_forward(pkc, x, cfg, dtype)
+        return store
+
+    import contextlib
+    ctx = contextlib.nullcontext()
+    if on_cpu:
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            pass  # no CPU backend: calibrate wherever we are
+    scales: Dict[str, float] = {}
+    with ctx:
+        for x in xs:
+            got = jax.device_get(capture(jnp.asarray(x)))
+            for k, v in got.items():
+                scales[k] = max(scales.get(k, 0.0), float(v))
+    return scales
+
+
+def quantize_packed(pk: PackedParams, act_scales: Dict[str, float]
+                    ) -> Dict[str, Any]:
+    """Packed bf16 params -> int8 :class:`~rtpe_tpu.ops.quant.QConv`
+    entries (per-output-channel weight scales, static per-tensor
+    activation scales from :func:`calibrate_act_scales`).
+
+    The result drops into :func:`packed_forward` unchanged — ``_apply``
+    dispatches on the entry type.  Not compatible with
+    ``pallas_chains=True`` (the chain kernel is bf16-only).
+    """
+    from ..ops import quant as qt
+
+    out: Dict[str, Any] = {}
+    for name, (w, b) in pk.items():
+        amax = float(act_scales[name])
+        if amax <= 0.0:
+            amax = 1e-6
+        w_q, s_w = qt.quantize_weight(w)
+        inv_sx = jnp.float32(127.0 / amax)
+        alpha = (s_w * (amax / 127.0)).astype(jnp.float32)
+        out[name] = qt.QConv(kernel=w_q, bias=b.astype(jnp.float32),
+                             alpha=alpha, inv_sx=inv_sx)
+    return out
+
+
+# ---------------------------------------------------------------- forward
+#
+# Every convolution in the packed graph goes through _apply, which
+# dispatches on the parameter-entry type: a plain ``(kernel, bias)``
+# tuple runs the bf16 path, a :class:`~rtpe_tpu.ops.quant.QConv` runs
+# the int8 MXU path (same geometry, s8xs8->s32), and a _CalibEntry
+# records the input abs-max for activation-scale calibration while
+# computing the bf16 result.
+
+
+class _CalibEntry:
+    """Calibration wrapper: records max|input| per conv into ``store``."""
+
+    __slots__ = ("w", "b", "name", "store")
+
+    def __init__(self, w, b, name, store):
+        self.w, self.b, self.name, self.store = w, b, name, store
+
+
+def _geometry(kind, kernel, stride=1, pad=None, stride_w=1):
+    """(strides, padding, lhs_dilation, flip) for each conv kind."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if kind == "dense":
+        p = (kh - 1) // 2 if pad is None else pad
+        return (stride, stride), ((p, p), (p, p)), None, False
+    if kind == "pp":
+        p = ((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)
+        return (1, stride_w), p, None, False
+    if kind == "up":
+        return (2, 1), ((1, 1), (1, 1)), None, False
+    if kind == "pu":
+        return (1, 2), ((1, 0), (1, 1)), None, False
+    if kind == "fuseup":
+        return ((1, 1), ((kh - 1, kh - 1), (kw - 1, kw - 1)),
+                (kh, kw), False)
+    if kind == "tconv":
+        return (1, 1), ((2, 2), (2, 2)), (2, 2), True
+    raise ValueError(kind)
+
+
+def _apply(kind, x, wb, stride=1, pad=None, stride_w=1):
+    """Run one conv of the packed graph; f32 accumulate + bias."""
+    from ..ops import quant as qt
+
+    if isinstance(wb, qt.QConv):
+        strides, padding, dil, flip = _geometry(kind, wb.kernel, stride,
+                                                pad, stride_w)
+        return qt.qconv(x, wb, strides, padding, lhs_dilation=dil,
+                        flip=flip)
+    if isinstance(wb, _CalibEntry):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        prev = wb.store.get(wb.name)
+        wb.store[wb.name] = amax if prev is None else jnp.maximum(prev,
+                                                                  amax)
+        w, b = wb.w, wb.b
+    else:
+        w, b = wb
+    strides, padding, dil, flip = _geometry(kind, w, stride, pad,
+                                            stride_w)
+    if flip:
+        w = jnp.flip(w, axis=(0, 1))
     y = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        x, w, strides, padding, lhs_dilation=dil,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     return y + b
 
 
+def _conv(x, wb, stride=1, pad=None):
+    """Dense folded conv; f32 accumulate + bias, caller casts."""
+    return _apply("dense", x, wb, stride=stride, pad=pad)
+
+
 def _conv_pp(x, wb, **kw):
-    w, b = wb
-    return rp.conv_pp(x, w, b, **kw)
+    return _apply("pp", x, wb, **kw)
 
 
 def _basic_block(pk, name, x, dtype, packed):
@@ -239,14 +366,14 @@ def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False):
             elif j > i:
                 # 1x1 conv + nearest upsample as one repeat-tconv kernel
                 wb = pk[f"{pfx}/fuse{i}_{j}"]
-                y = rp.apply_fuse_up(ys[j], wb[0], wb[1]).astype(dtype)
+                y = _apply("fuseup", ys[j], wb).astype(dtype)
             else:
                 y = ys[j]
                 for k in range(i - j):
                     last = k == i - j - 1
                     wb = pk[f"{pfx}/fuse{i}_{j}_{k}"]
                     if j == 0 and k == 0:
-                        y = rp.conv_pu(y, wb[0], wb[1])
+                        y = _apply("pu", y, wb)
                     else:
                         y = _conv(y, wb, stride=2)
                     y = y.astype(dtype)
@@ -286,7 +413,7 @@ def packed_forward(pk: PackedParams, x: jax.Array,
 
     # transition 1: branch0 enters the packed-rows domain
     x0 = jax.nn.relu(
-        rp.conv_up(x, *pk["transition1_0"])).astype(dtype)
+        _apply("up", x, pk["transition1_0"])).astype(dtype)
     x1 = jax.nn.relu(_conv(x, pk["transition1_1_0"], stride=2)
                      ).astype(dtype)
     xs = [x0, x1]
@@ -311,8 +438,8 @@ def packed_forward(pk: PackedParams, x: jax.Array,
     x0 = xs[0]
     y0 = _conv_pp(x0, pk["final_0"]).astype(dtype)
     xh = jnp.concatenate([x0, y0], axis=-1)
-    w, b = pk["deconv0_tconv"]
-    xh = jax.nn.relu(rp.tconv_pp(xh, w, b)).astype(dtype)
+    xh = jax.nn.relu(_apply("tconv", xh, pk["deconv0_tconv"])
+                     ).astype(dtype)
     for b_ in range(cfg.deconv_num_blocks):
         xh = _basic_block(pk, f"deconv0_block{b_}", xh, dtype, packed=True)
     y1 = _conv_pp(xh, pk["final_1"]).astype(dtype)

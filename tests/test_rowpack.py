@@ -183,3 +183,69 @@ def test_packed_predictor_smoke(rng):
     pred = PosePredictor(model, v, input_size=96, packed=True)
     people, scores = pred.predict(img)
     assert isinstance(people, list) and isinstance(scores, list)
+
+
+def test_w48_int8_quantized_forward(rng):
+    """int8 packed path: calibrate on one batch, quantize, and check the
+    quantized forward tracks the fp32 packed forward.
+
+    Random-init weights are a *harder* case than trained ones (no
+    activation-range structure), so the tolerance here is loose; the
+    test pins the machinery (per-channel weight scales, static
+    activation scales, s8xs8->s32 conv geometry for every conv kind in
+    the graph), not production accuracy — that needs the real
+    statedict (TODO.md validation block).
+    """
+    from rtpe_tpu.models import (
+        PoseHigherHRNet,
+        calibrate_act_scales,
+        pack_w48_params,
+        packed_forward,
+        quantize_packed,
+        w48_config,
+    )
+
+    cfg = w48_config()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    pk = pack_w48_params(v, cfg, dtype=jnp.float32)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 96, 3))
+    scales = calibrate_act_scales(pk, [x], cfg, dtype=jnp.float32)
+    assert len(scales) == len(pk)
+    assert all(s > 0 for s in scales.values())
+
+    pkq = quantize_packed(pk, scales)
+    qc, qr = packed_forward(pkq, x, cfg, dtype=jnp.float32)
+    fc, fr = packed_forward(pk, x, cfg, dtype=jnp.float32)
+    assert qc.shape == fc.shape and qr.shape == fr.shape
+    for a, b in ((np.asarray(fc), np.asarray(qc)),
+                 (np.asarray(fr), np.asarray(qr))):
+        assert np.isfinite(b).all()
+        denom = max(np.abs(a).max(), 1e-6)
+        rel = np.abs(a - b).max() / denom
+        # int8 through ~100 sequential convs on random weights
+        assert rel < 0.15, rel
+        # and the outputs must be strongly correlated, not just bounded
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.99, corr
+
+
+def test_packed_int8_predictor_smoke(rng):
+    """PosePredictor(packed=True, int8=True) runs end-to-end, with and
+    without user calibration images."""
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import PoseHigherHRNet, w48_config
+
+    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+    pred = PosePredictor(model, v, input_size=96, packed=True, int8=True,
+                         calibration_images=[rng.rand(80, 100, 3)])
+    people, scores = pred.predict(img)
+    assert isinstance(people, list) and isinstance(scores, list)
+
+    with pytest.raises(ValueError):
+        PosePredictor(model, v, input_size=96, int8=True)
