@@ -35,7 +35,8 @@ class PosePredictor:
                  scales: Sequence[float] = (1.0,),
                  packed: bool = False,
                  int8: bool = False,
-                 calibration_images: Optional[Sequence] = None):
+                 calibration_images: Optional[Sequence] = None,
+                 mesh=None):
         """``packed=True`` serves the W48 teacher through the row-packed
         fast path (``models/hrnet_packed.py``): BN folded into bf16
         weights once here, ~1.9x the canonical forward throughput.
@@ -47,7 +48,12 @@ class PosePredictor:
         ``calibration_images`` — an iterable of float RGB arrays in
         [0, 1] — for activation-range calibration; without them a
         synthetic normalized batch is used (works, but calibrate on
-        real data before trusting accuracy-sensitive output)."""
+        real data before trusting accuracy-sensitive output).
+
+        ``mesh`` — a ``jax.sharding.Mesh`` with a ``data`` axis: batch
+        calls (:meth:`predict_batch`) shard the image batch over it
+        with replicated parameters (data-parallel serving; the
+        reference serves strictly one image on one GPU)."""
         self.model = model
         self.variables = variables
         self.num_joints = num_joints
@@ -84,6 +90,70 @@ class PosePredictor:
         else:
             self._fwd = jax.jit(
                 lambda x: model.apply(variables, x, train=False))
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            raw = self._fwd
+            in_sh = NamedSharding(mesh, P("data"))
+            self._fwd_sharded = jax.jit(
+                raw, in_shardings=(in_sh,),
+                out_shardings=NamedSharding(mesh, P("data")))
+        else:
+            self._fwd_sharded = None
+
+    def predict_batch(self, images_rgb: Sequence[np.ndarray]
+                      ) -> List[Tuple[List[np.ndarray], List[float]]]:
+        """Batched inference over same-processing-path images; with a
+        ``mesh`` the forward runs data-parallel across its devices
+        (batch padded up to a multiple of the mesh's data axis).
+
+        :returns: one ``(people, scores)`` pair per input image.
+        """
+        if not images_rgb:
+            return []
+        if self.with_flip or self.scales != (1.0,):
+            # TTA composes per image; route through the single path
+            return [self.predict(im) for im in images_rgb]
+        xs, metas = [], []
+        for image in images_rgb:
+            img = np.asarray(image, dtype=np.float32)
+            if img.max() > 1.5:
+                img = img / 255.0
+            resized, center, scale = resize_align_multi_scale(
+                img * 255.0, self.input_size, 1, 1)
+            xs.append(normalize_image(resized / 255.0))
+            metas.append((center, scale))
+        shapes = {x.shape for x in xs}
+        if len(shapes) != 1:
+            # mixed post-resize shapes: fall back to per-image calls
+            return [self.predict(im) for im in images_rgb]
+        n = len(xs)
+        batch = np.stack(xs)
+        fwd = self._fwd
+        if self._fwd_sharded is not None:
+            d = self.mesh.shape["data"]
+            padded_n = -(-n // d) * d
+            if padded_n != n:
+                batch = np.concatenate(
+                    [batch, np.zeros((padded_n - n,) + batch.shape[1:],
+                                     batch.dtype)])
+            fwd = self._fwd_sharded
+        coarse, refined = fwd(jnp.asarray(batch))
+        hms = refined[..., : self.num_joints].astype(jnp.float32)
+        tags = coarse[..., self.num_joints:].astype(jnp.float32)
+        tags = resize_bilinear(tags, hms.shape[1:3], align_corners=True)
+        grouped, scores = self.parser.parse_batch(hms[:n], tags[:n],
+                                                  adjust=True,
+                                                  refine=True)
+        hm_h, hm_w = int(hms.shape[1]), int(hms.shape[2])
+        out = []
+        for i in range(n):
+            people = [p for p in grouped[i] if np.asarray(p).size > 0]
+            center, scale = metas[i]
+            final = get_final_preds([people], center, scale,
+                                    (hm_w, hm_h)) if people else []
+            out.append((final, scores[i]))
+        return out
 
     def predict(self, image_rgb: np.ndarray
                 ) -> Tuple[List[np.ndarray], List[float]]:

@@ -249,3 +249,29 @@ def test_packed_int8_predictor_smoke(rng):
 
     with pytest.raises(ValueError):
         PosePredictor(model, v, input_size=96, int8=True)
+
+
+def test_predictor_batch_mesh_serving(rng):
+    """predict_batch on an 8-device data mesh: sharded forward,
+    per-image results equal the single-image path."""
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import PoseHigherHRNet, w48_config
+    from rtpe_tpu.parallel import make_mesh
+
+    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    mesh = make_mesh(n_data=len(jax.devices()))
+    imgs = [(rng.rand(80, 100, 3) * 255).astype(np.uint8)
+            for _ in range(3)]  # 3 images over 8 devices: pad path
+    pred_m = PosePredictor(model, v, input_size=96, mesh=mesh)
+    with mesh:
+        batch_out = pred_m.predict_batch(imgs)
+    assert len(batch_out) == 3
+    pred_1 = PosePredictor(model, v, input_size=96)
+    for img, (people, scores) in zip(imgs, batch_out):
+        p1, s1 = pred_1.predict(img)
+        assert len(people) == len(p1)
+        for a, b in zip(people, p1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
