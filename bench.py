@@ -379,10 +379,14 @@ def main():
 
     signal.signal(signal.SIGTERM, _flush)
     # the headline is the contract: keep retrying it while anything
-    # remains of the budget (each attempt is bounded by its timeout)
+    # remains of the budget (each attempt is bounded by its timeout;
+    # the first attempt always runs)
     for attempt in range(4):
         headline = _run_section_subprocess("headline")
         if headline is not None:
+            break
+        if time.time() > deadline:
+            log(f"headline attempt {attempt + 1} failed; budget exhausted")
             break
         log(f"headline attempt {attempt + 1} failed; retrying")
     for name in ("int8", "train", "decode", "canonical"):

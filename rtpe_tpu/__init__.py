@@ -52,8 +52,10 @@ def _enable_persistent_compilation_cache():
     import os
     if os.environ.get("RTPE_NO_XLA_CACHE"):
         return
-    cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
-    if not (cpu or os.environ.get("RTPE_XLA_CACHE")):
+    # primary platform only: "tpu,cpu" (TPU with CPU fallback) must NOT
+    # enable the cache — the process still compiles for the tunneled TPU
+    primary = os.environ.get("JAX_PLATFORMS", "").lower().split(",")[0]
+    if not (primary.strip() == "cpu" or os.environ.get("RTPE_XLA_CACHE")):
         return
     try:
         import jax

@@ -24,6 +24,14 @@ from ..decode import HeatmapParser
 from ..ops.resize import resize_bilinear
 
 
+def _to_unit_rgb(image) -> np.ndarray:
+    """uint8 / 0-255 float / 0-1 float RGB -> float32 in [0, 1]."""
+    img = np.asarray(image, dtype=np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    return img
+
+
 class PosePredictor:
     """Bottom-up multi-person pose inference with the W48 teacher head
     contract (coarse = heatmaps+tags @1/4, refined = heatmaps @1/2)."""
@@ -45,8 +53,9 @@ class PosePredictor:
         packed weights to per-channel int8 with static activation
         scales (``ops/quant.py``; +30% throughput on v5e, measured
         432.7 vs 334.3 img/s at bs128 @640).  Pass
-        ``calibration_images`` — an iterable of float RGB arrays in
-        [0, 1] — for activation-range calibration; without them a
+        ``calibration_images`` — an iterable of RGB images in any of
+        the ranges :meth:`predict` accepts (uint8, 0-255 float, or
+        0-1 float) — for activation-range calibration; without them a
         synthetic normalized batch is used (works, but calibrate on
         real data before trusting accuracy-sensitive output).
 
@@ -74,9 +83,11 @@ class PosePredictor:
                 # recompiles the (CPU) capture forward
                 hw = max(64, min(input_size, 320))
                 if calibration_images is not None:
+                    # same range handling as predict(): users naturally
+                    # pass the frames they serve (often uint8)
                     calib = [resize_bilinear(
                         jnp.asarray(normalize_image(
-                            np.asarray(im, np.float32)))[None],
+                            _to_unit_rgb(im)))[None],
                         (hw, hw), align_corners=False)
                         for im in calibration_images]
                 else:
@@ -101,6 +112,32 @@ class PosePredictor:
         else:
             self._fwd_sharded = None
 
+    # ------------------------------------------------------ shared path
+
+    def _preprocess(self, image_rgb):
+        """Image (any accepted range) -> (model input HWC, center, scale)."""
+        img = _to_unit_rgb(image_rgb)
+        resized, center, scale = resize_align_multi_scale(
+            img * 255.0, self.input_size, 1, 1)
+        return normalize_image(resized / 255.0), center, scale
+
+    def _decode_outputs(self, coarse, refined):
+        """Head outputs -> (hms, tags) at the refined resolution."""
+        hms = refined[..., : self.num_joints].astype(jnp.float32)
+        tags = coarse[..., self.num_joints:].astype(jnp.float32)
+        tags = resize_bilinear(tags, hms.shape[1:3], align_corners=True)
+        return hms, tags
+
+    def _finalize(self, grouped_i, scores_i, center, scale, hm_hw):
+        """One image's parse output -> original-coordinate people."""
+        people = [p for p in grouped_i if np.asarray(p).size > 0]
+        hm_h, hm_w = hm_hw
+        final = get_final_preds([people], center, scale, (hm_w, hm_h)) \
+            if people else []
+        return final, scores_i
+
+    # ----------------------------------------------------------- public
+
     def predict_batch(self, images_rgb: Sequence[np.ndarray]
                       ) -> List[Tuple[List[np.ndarray], List[float]]]:
         """Batched inference over same-processing-path images; with a
@@ -114,21 +151,14 @@ class PosePredictor:
         if self.with_flip or self.scales != (1.0,):
             # TTA composes per image; route through the single path
             return [self.predict(im) for im in images_rgb]
-        xs, metas = [], []
-        for image in images_rgb:
-            img = np.asarray(image, dtype=np.float32)
-            if img.max() > 1.5:
-                img = img / 255.0
-            resized, center, scale = resize_align_multi_scale(
-                img * 255.0, self.input_size, 1, 1)
-            xs.append(normalize_image(resized / 255.0))
-            metas.append((center, scale))
-        shapes = {x.shape for x in xs}
+        pre = [self._preprocess(im) for im in images_rgb]
+        shapes = {x.shape for x, _, _ in pre}
         if len(shapes) != 1:
-            # mixed post-resize shapes: fall back to per-image calls
+            # mixed post-resize shapes: per-image forwards (each shape
+            # compiles once; decode still batches per call)
             return [self.predict(im) for im in images_rgb]
-        n = len(xs)
-        batch = np.stack(xs)
+        n = len(pre)
+        batch = np.stack([x for x, _, _ in pre])
         fwd = self._fwd
         if self._fwd_sharded is not None:
             d = self.mesh.shape["data"]
@@ -139,21 +169,14 @@ class PosePredictor:
                                      batch.dtype)])
             fwd = self._fwd_sharded
         coarse, refined = fwd(jnp.asarray(batch))
-        hms = refined[..., : self.num_joints].astype(jnp.float32)
-        tags = coarse[..., self.num_joints:].astype(jnp.float32)
-        tags = resize_bilinear(tags, hms.shape[1:3], align_corners=True)
+        hms, tags = self._decode_outputs(coarse, refined)
         grouped, scores = self.parser.parse_batch(hms[:n], tags[:n],
                                                   adjust=True,
                                                   refine=True)
-        hm_h, hm_w = int(hms.shape[1]), int(hms.shape[2])
-        out = []
-        for i in range(n):
-            people = [p for p in grouped[i] if np.asarray(p).size > 0]
-            center, scale = metas[i]
-            final = get_final_preds([people], center, scale,
-                                    (hm_w, hm_h)) if people else []
-            out.append((final, scores[i]))
-        return out
+        hm_hw = (int(hms.shape[1]), int(hms.shape[2]))
+        return [self._finalize(grouped[i], scores[i], pre[i][1],
+                               pre[i][2], hm_hw)
+                for i in range(n)]
 
     def predict(self, image_rgb: np.ndarray
                 ) -> Tuple[List[np.ndarray], List[float]]:
@@ -161,13 +184,8 @@ class PosePredictor:
         :returns: (people, scores) — each person (J, >=3) array with
           x, y in ORIGINAL image coordinates plus the joint score.
         """
-        img = np.asarray(image_rgb, dtype=np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        h, w = img.shape[:2]
-        resized, center, scale = resize_align_multi_scale(
-            img * 255.0, self.input_size, 1, 1)
-        x = jnp.asarray(normalize_image(resized / 255.0)[None])
+        x_np, center, scale = self._preprocess(image_rgb)
+        x = jnp.asarray(x_np[None])
 
         if self.with_flip or self.scales != (1.0,):
             from .tta import tta_forward
@@ -175,17 +193,9 @@ class PosePredictor:
                                     self.with_flip, self.scales)
         else:
             coarse, refined = self._fwd(x)
-            hms = refined[..., : self.num_joints].astype(jnp.float32)
-            tags = coarse[..., self.num_joints:].astype(jnp.float32)
-            tags = resize_bilinear(tags, hms.shape[1:3],
-                                   align_corners=True)
+            hms, tags = self._decode_outputs(coarse, refined)
 
         grouped, scores = self.parser.parse_batch(hms, tags, adjust=True,
                                                   refine=True)
-        scores = scores[0]
-        people = [p for p in grouped[0] if np.asarray(p).size > 0]
-        # map heatmap coords back to the original image
-        hm_h, hm_w = int(hms.shape[1]), int(hms.shape[2])
-        final = get_final_preds([people], center, scale, (hm_w, hm_h)) \
-            if people else []
-        return final, scores
+        return self._finalize(grouped[0], scores[0], center, scale,
+                              (int(hms.shape[1]), int(hms.shape[2])))
