@@ -178,6 +178,39 @@ class PosePredictor:
                                pre[i][2], hm_hw)
                 for i in range(n)]
 
+    def stream(self, images_rgb):
+        """Pipelined streaming inference: yields one ``(people,
+        scores)`` per input frame, in order.
+
+        The device forward of frame N+1 is dispatched *before* frame
+        N's host-side decode runs (jax dispatch is asynchronous), so
+        device compute and host grouping overlap — sustained throughput
+        approaches ``max(forward, decode)`` instead of their sum.  TTA
+        configs fall back to the sequential path.
+        """
+        if self.with_flip or self.scales != (1.0,):
+            for im in images_rgb:
+                yield self.predict(im)
+            return
+
+        def decode(outs, center, scale):
+            coarse, refined = outs
+            hms, tags = self._decode_outputs(coarse, refined)
+            grouped, scores = self.parser.parse_batch(
+                hms, tags, adjust=True, refine=True)
+            return self._finalize(grouped[0], scores[0], center, scale,
+                                  (int(hms.shape[1]), int(hms.shape[2])))
+
+        pending = None
+        for im in images_rgb:
+            x_np, center, scale = self._preprocess(im)
+            outs = self._fwd(jnp.asarray(x_np[None]))  # async dispatch
+            if pending is not None:
+                yield decode(*pending)  # overlaps the device forward
+            pending = (outs, center, scale)
+        if pending is not None:
+            yield decode(*pending)
+
     def predict(self, image_rgb: np.ndarray
                 ) -> Tuple[List[np.ndarray], List[float]]:
         """:param image_rgb: (H, W, 3) uint8/float RGB image.

@@ -275,3 +275,25 @@ def test_predictor_batch_mesh_serving(rng):
         for a, b in zip(people, p1):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_stream_matches_predict(rng):
+    """stream() pipelines forward/decode but must yield exactly the
+    per-frame results of predict()."""
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import PoseHigherHRNet, w48_config
+
+    model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    pred = PosePredictor(model, v, input_size=96)
+    frames = [(rng.rand(80, 100, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+    streamed = list(pred.stream(iter(frames)))
+    assert len(streamed) == 3
+    for frame, (people, scores) in zip(frames, streamed):
+        p1, s1 = pred.predict(frame)
+        assert len(people) == len(p1)
+        for a, b in zip(people, p1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
