@@ -131,7 +131,8 @@ class CocoDistillationDataset:
 
     # ------------------------------------------------------------------
     def evaluate(self, all_preds, all_scores,
-                 output_dir: Optional[str] = None) -> dict:
+                 output_dir: Optional[str] = None,
+                 img_ids: Optional[list] = None) -> dict:
         """COCO keypoint AP over this dataset's (possibly whitelisted)
         ids — mirrors the reference evaluation path
         (``COCODataset.py:160-222`` + the imgIds restriction of
@@ -140,12 +141,24 @@ class CocoDistillationDataset:
         :param all_preds: per evaluated image (in ``self.ids`` order), a
           list of (J, >=3) arrays [x, y, score, ...].
         :param all_scores: per image, list of person scores.
+        :param img_ids: evaluate over exactly these image ids (in
+          ``all_preds`` order).  Default: ``self.ids`` — which REQUIRES
+          predictions for every id; evaluating a prefix subset against
+          the full id list would silently count the never-predicted
+          images as total misses and deflate AP.
         """
         from ..eval import KeypointEvaluator
 
+        eval_ids = list(img_ids) if img_ids is not None else self.ids
+        if len(all_preds) != len(eval_ids):
+            raise ValueError(
+                f"{len(all_preds)} predictions for {len(eval_ids)} "
+                f"images — pass img_ids for the subset actually "
+                f"evaluated (AP over a mismatched id set is silently "
+                f"wrong)")
         detections = []
         for idx, (people, scores) in enumerate(zip(all_preds, all_scores)):
-            img_id = self.ids[idx]
+            img_id = eval_ids[idx]
             for kpt, score in zip(people, scores):
                 kpt = np.asarray(kpt, dtype=np.float64)
                 flat = kpt[:, :3].reshape(-1).tolist()
@@ -165,6 +178,6 @@ class CocoDistillationDataset:
             with open(res_file, "w") as f:
                 json.dump(detections, f, sort_keys=True, indent=4)
 
-        ev = KeypointEvaluator(self.coco, img_ids=self.ids)
+        ev = KeypointEvaluator(self.coco, img_ids=eval_ids)
         stats = ev.evaluate(detections)
         return stats

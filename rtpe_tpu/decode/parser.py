@@ -133,7 +133,6 @@ class HeatmapParser:
             use_pallas=use_pallas)
         # one batched transfer: each host pull over the interconnect has
         # tens of ms of fixed latency
-        import jax
         val_k, loc_k, tag_k = jax.device_get((val_k, loc_k, tag_k))
         return (val_k.astype(np.float32), loc_k.astype(np.int32),
                 tag_k.astype(np.float32))
@@ -294,8 +293,10 @@ class HeatmapParser:
         from .refine_device import adjust_refine_device
 
         if len(people) == 0:
-            return [np.zeros((0, self.params.num_joints, 4),
-                             np.float32)][:1], []
+            d = (tag.shape[-1] // det.shape[-1] if self.tag_per_joint
+                 else tag.shape[-1])
+            return [np.zeros((0, self.params.num_joints, 3 + d),
+                             np.float32)], []
         j = self.params.num_joints
         d = people[0].shape[-1] - 3
         # pad the people dim to a small set of buckets to bound recompiles

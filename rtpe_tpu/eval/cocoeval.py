@@ -117,8 +117,10 @@ def _match_image(dts: List[dict], gts: List[dict], ious: np.ndarray,
             gtm[ti, m] = di
 
     # unmatched detections outside the area range are ignored
-    a = np.array([d.get("area", _dt_area(d)) < area_rng[0]
-                  or d.get("area", _dt_area(d)) > area_rng[1]
+    def _area(d):
+        a = d.get("area")
+        return _dt_area(d) if a is None else a
+    a = np.array([not (area_rng[0] <= _area(d) <= area_rng[1])
                   for d in dts]) if d_n else np.zeros(0, bool)
     dt_ig = np.logical_or(dt_ig, np.logical_and(dtm == -1, a[None, :]))
     scores = np.array([d["score"] for d in dts])

@@ -33,11 +33,11 @@ def eval_student(apply_fn: Callable, hm_parser, dataset,
         img = sample["img"]
         out_hw = img.shape[:2]
         pred = apply_fn(jnp.asarray(img[None]), out_hw)
-        pred = np.asarray(pred, dtype=np.float32)
-        pred_hms = pred[..., :num_heatmaps]
-        pred_ae = pred[..., num_heatmaps:]
+        # slice on-device: pulling the native-resolution map to host
+        # and re-uploading costs two full-tensor transfers per image
+        pred = pred.astype(jnp.float32)
         grouped, scores = hm_parser.parse_batch(
-            jnp.asarray(pred_hms), jnp.asarray(pred_ae),
+            pred[..., :num_heatmaps], pred[..., num_heatmaps:],
             adjust=True, refine=True)
         final_results = [x for x in grouped[0] if x.size > 0]
         all_preds.append(final_results)

@@ -128,4 +128,7 @@ def detection_minival(model, params, batch_stats, dataset,
         all_scores.append(scores[0])
         if logger is not None:
             logger.info(f"det minival {i}: {len(people)} people")
-    return dataset.evaluate(all_preds, all_scores)
+    # evaluate over exactly the images forwarded (AP over the full id
+    # list with a prediction prefix would deflate silently)
+    return dataset.evaluate(all_preds, all_scores,
+                            img_ids=[dataset.ids[i] for i in range(n)])

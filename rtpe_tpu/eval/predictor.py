@@ -25,9 +25,15 @@ from ..ops.resize import resize_bilinear
 
 
 def _to_unit_rgb(image) -> np.ndarray:
-    """uint8 / 0-255 float / 0-1 float RGB -> float32 in [0, 1]."""
-    img = np.asarray(image, dtype=np.float32)
-    if img.max() > 1.5:
+    """uint8 / 0-255 float / 0-1 float RGB -> float32 in [0, 1].
+
+    Integer inputs divide by 255 unconditionally (a near-black uint8
+    frame must not be mistaken for unit-range); the max-value heuristic
+    applies only to floats, whose range is genuinely ambiguous.
+    """
+    arr = np.asarray(image)
+    img = arr.astype(np.float32)
+    if np.issubdtype(arr.dtype, np.integer) or img.max() > 1.5:
         img = img / 255.0
     return img
 
@@ -152,31 +158,35 @@ class PosePredictor:
             # TTA composes per image; route through the single path
             return [self.predict(im) for im in images_rgb]
         pre = [self._preprocess(im) for im in images_rgb]
-        shapes = {x.shape for x, _, _ in pre}
-        if len(shapes) != 1:
-            # mixed post-resize shapes: per-image forwards (each shape
-            # compiles once; decode still batches per call)
-            return [self.predict(im) for im in images_rgb]
-        n = len(pre)
-        batch = np.stack([x for x, _, _ in pre])
-        fwd = self._fwd
-        if self._fwd_sharded is not None:
-            d = self.mesh.shape["data"]
-            padded_n = -(-n // d) * d
-            if padded_n != n:
-                batch = np.concatenate(
-                    [batch, np.zeros((padded_n - n,) + batch.shape[1:],
-                                     batch.dtype)])
-            fwd = self._fwd_sharded
-        coarse, refined = fwd(jnp.asarray(batch))
-        hms, tags = self._decode_outputs(coarse, refined)
-        grouped, scores = self.parser.parse_batch(hms[:n], tags[:n],
-                                                  adjust=True,
-                                                  refine=True)
-        hm_hw = (int(hms.shape[1]), int(hms.shape[2]))
-        return [self._finalize(grouped[i], scores[i], pre[i][1],
-                               pre[i][2], hm_hw)
-                for i in range(n)]
+        # group by post-resize shape: each group runs as one batched
+        # forward + one batched decode (mixed shapes are rare — the
+        # 64-multiple resize buckets them — and each compiles once)
+        groups = {}
+        for i, (x, _, _) in enumerate(pre):
+            groups.setdefault(x.shape, []).append(i)
+        out: List = [None] * len(pre)
+        for idxs in groups.values():
+            batch = np.stack([pre[i][0] for i in idxs])
+            n = len(idxs)
+            fwd = self._fwd
+            if self._fwd_sharded is not None:
+                d = self.mesh.shape["data"]
+                padded_n = -(-n // d) * d
+                if padded_n != n:
+                    batch = np.concatenate(
+                        [batch,
+                         np.zeros((padded_n - n,) + batch.shape[1:],
+                                  batch.dtype)])
+                fwd = self._fwd_sharded
+            coarse, refined = fwd(jnp.asarray(batch))
+            hms, tags = self._decode_outputs(coarse, refined)
+            grouped, scores = self.parser.parse_batch(
+                hms[:n], tags[:n], adjust=True, refine=True)
+            hm_hw = (int(hms.shape[1]), int(hms.shape[2]))
+            for k, i in enumerate(idxs):
+                out[i] = self._finalize(grouped[k], scores[k],
+                                        pre[i][1], pre[i][2], hm_hw)
+        return out
 
     def stream(self, images_rgb):
         """Pipelined streaming inference: yields one ``(people,

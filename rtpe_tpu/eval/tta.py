@@ -63,6 +63,10 @@ def tta_forward(apply_fn: Callable, img: jax.Array,
     :returns: ``(heatmaps (1, H', W', J), tags (1, H', W', J*D))`` at
       ``base_hw`` (default: scale-1 refined resolution); D=2 with flip.
     """
+    if 1.0 not in [float(s) for s in scales]:
+        raise ValueError(
+            f"scales {tuple(scales)} must include 1.0: tags are taken "
+            f"from the primary scale only (HigherHRNet TTA contract)")
     h, w = img.shape[1:3]
     hm_acc = None
     tag_list: List[jax.Array] = []

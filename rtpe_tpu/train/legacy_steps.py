@@ -142,10 +142,20 @@ def make_student_train_step(model, cfg: StudentDistillConfig,
             updates, new_opt = tx.update(safe, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
-            # skip the whole update (params AND momentum) on overflow
-            keep = lambda old, new: jax.tree_util.tree_map(
-                lambda a, b: jnp.where(overflow, a, b), old, new)
-            new_params = keep(state.params, new_params)
+            # skip the whole update (params AND momentum) on overflow —
+            # but NOT the LR-schedule step count: the reference steps
+            # its SgdrScheduler every iteration while FP16_Optimizer
+            # skips only the optimizer update, so the schedule must
+            # advance through overflow steps too.  Integer opt-state
+            # leaves are exactly the schedule counts; float leaves are
+            # the momentum/trace buffers.
+            def keep(old, new):
+                return jax.tree_util.tree_map(
+                    lambda a, b: b if jnp.issubdtype(b.dtype, jnp.integer)
+                    else jnp.where(overflow, a, b), old, new)
+            new_params = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(overflow, a, b),
+                state.params, new_params)
             new_opt = keep(state.opt_state, new_opt)
             new_scaler = update_scaler(state.scaler, overflow)
             metrics = {"loss": loss, "lr": sched(state.step),

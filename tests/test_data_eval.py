@@ -268,3 +268,18 @@ def test_eval_jittered_predictions_degrade(tmp_path):
         all_scores.append([0.9] * len(people))
     stats = ds.evaluate(all_preds, all_scores)
     assert 0.0 < stats["AP"] < 1.0
+
+
+def test_evaluate_rejects_prediction_id_mismatch(tmp_path):
+    """AP over a prediction prefix vs the full id list silently counts
+    never-evaluated images as misses — evaluate() must reject the
+    mismatch and accept an explicit img_ids subset."""
+    root = str(tmp_path)
+    _make_coco_fixture(root, n_imgs=4, hw=(64, 64))
+    ds = CocoDistillationDataset(root, "val2017",
+                                 remove_images_without_annotations=True)
+    assert len(ds) >= 2
+    with pytest.raises(ValueError, match="img_ids"):
+        ds.evaluate([[]], [[]])  # 1 prediction, full id list
+    stats = ds.evaluate([[]], [[]], img_ids=[ds.ids[0]])
+    assert "AP" in stats

@@ -271,7 +271,17 @@ def test_dynamic_loss_scaled_step_matches_unscaled_and_skips_overflow():
         np.testing.assert_array_equal(
             np.asarray(flatten_dict(jax.device_get(scaled.params))[path]),
             np.asarray(val))
+    # momentum (float leaves) reverted; LR-schedule counts (integer
+    # leaves) STILL advance — the reference steps its SgdrScheduler
+    # every iteration while FP16_Optimizer skips only optimizer.step
     after_o = jax.device_get(scaled.opt_state)
+    n_int = 0
     for a, b in zip(jax.tree_util.tree_leaves(before_o),
                     jax.tree_util.tree_leaves(after_o)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(b.dtype, np.integer):
+            np.testing.assert_array_equal(b, a + 1)
+            n_int += 1
+        else:
+            np.testing.assert_array_equal(b, a)
+    assert n_int >= 1  # the schedule count exists and advanced
