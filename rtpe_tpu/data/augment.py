@@ -64,12 +64,18 @@ def sample_affine_matrices(rng: np.random.RandomState, batch: int,
             [sa, ca, cy - sa * cx - ca * cy + ty],
             [0, 0, 1]], dtype=np.float64)
         m = aff @ m
-        # random crop (pad_if_needed semantics: if the source is smaller
-        # than the crop, the crop window may start negative)
-        max_i = max(h - out_h, 0)
-        max_j = max(w - out_w, 0)
-        i = rng.randint(0, max_i + 1) if max_i else -((out_h - h) // 2)
-        jj = rng.randint(0, max_j + 1) if max_j else -((out_w - w) // 2)
+        # random crop (torchvision RandomCrop(pad_if_needed=True)
+        # semantics, reference distillation.py:240: when the source is
+        # smaller than the crop it is padded by the shortfall on EACH
+        # side, then the offset is drawn uniformly over the padded
+        # extent — in source coordinates the window start is uniform on
+        # [-(out-h), 0], NOT a fixed centered offset)
+        def crop_start(src, out):
+            if src > out:
+                return rng.randint(0, src - out + 1)
+            return rng.randint(0, out - src + 1) - (out - src)
+        i = crop_start(h, out_h)
+        jj = crop_start(w, out_w)
         crop = np.array([[1, 0, -jj], [0, 1, -i], [0, 0, 1]],
                         dtype=np.float64)
         m = crop @ m

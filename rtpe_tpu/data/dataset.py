@@ -156,6 +156,10 @@ class CocoDistillationDataset:
                 f"images — pass img_ids for the subset actually "
                 f"evaluated (AP over a mismatched id set is silently "
                 f"wrong)")
+        if len(all_scores) != len(all_preds):
+            raise ValueError(
+                f"{len(all_scores)} score lists for {len(all_preds)} "
+                f"predictions (zip would silently drop the tail)")
         detections = []
         for idx, (people, scores) in enumerate(zip(all_preds, all_scores)):
             img_id = eval_ids[idx]

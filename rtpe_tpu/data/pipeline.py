@@ -193,24 +193,41 @@ class TrainPipeline:
         batches = self._epoch_indices()
         if self.num_workers == 1:
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            # stop flag so an abandoned generator (consumer breaks out
+            # early) releases the producer instead of leaking a thread
+            # blocked on q.put holding a ~60 MB batch per epoch
+            stop = threading.Event()
+
+            def put(item) -> bool:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def producer():
                 try:
                     for inds in batches:
-                        q.put(self._host_batch(inds))
-                    q.put(None)
+                        if not put(self._host_batch(inds)):
+                            return
+                    put(None)
                 except BaseException as e:  # re-raised on consumer side
-                    q.put(e)
+                    put(e)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
         else:
             # per-batch seeds drawn up front: deterministic streams
             # independent of scheduling

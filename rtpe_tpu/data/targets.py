@@ -75,10 +75,12 @@ def render_heatmaps(joints: jax.Array, out_hw: Tuple[int, int],
     """
     h, w = out_hw
     b, p, j, _ = joints.shape
-    x = jnp.floor(joints[..., 0]).astype(jnp.int32)  # int() truncation
-    y = jnp.floor(joints[..., 1]).astype(jnp.int32)
-    # reference casts via int() which truncates toward zero; for the
-    # negative (out-of-image) values the point is skipped anyway
+    # reference casts via int(), which truncates TOWARD ZERO: a visible
+    # keypoint at x in (-1, 0) lands on column 0 and is rendered.
+    # astype(int32) truncates toward zero like int(); floor() would
+    # send it to -1 and silently drop it.
+    x = joints[..., 0].astype(jnp.int32)
+    y = joints[..., 1].astype(jnp.int32)
     vis = ((joints[..., 2] > 0)
            & (x >= 0) & (y >= 0) & (x < w) & (y < h))
 

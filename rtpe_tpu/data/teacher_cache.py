@@ -14,11 +14,8 @@ from typing import Tuple
 
 import numpy as np
 
-HEATMAPS_ORDER = [
-    "nose", "leye", "reye", "lear", "rear", "lshould", "rshould",
-    "lelbow", "relbow", "lwrist", "rwrist", "lhip", "rhip",
-    "lknee", "rknee", "lankle", "rankle",
-]
+from .coco import COCO_JOINT_NAMES as HEATMAPS_ORDER  # single source:
+# the 17-name joint order is the byte contract of the teacher npz corpus
 
 
 def prediction_path(out_dir: str, image_basename: str) -> str:

@@ -50,8 +50,9 @@ def strip_fp16_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
 # -----------------------------------------------------------------------------
 # flax-path -> torch-key translation
 # -----------------------------------------------------------------------------
-_BN_LEAVES = {"scale": "weight", "bias": "bias",
-              "mean": "running_mean", "var": "running_var"}
+# flax leaf name -> torch key suffix (single source for every importer)
+_LEAF_SUFFIXES = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                  "mean": "running_mean", "var": "running_var"}
 
 
 def _block_inner(parts: Tuple[str, ...]) -> str:
@@ -148,8 +149,7 @@ def _import_by_translator(variables: Dict, sd: Dict[str, np.ndarray],
     flat = flatten_dict(variables)
     out = {}
     used = set()
-    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}
+    suffixes = _LEAF_SUFFIXES
     for path, template in flat.items():
         collection, *mods, leaf = path
         prefix = prefix_fn(tuple(mods))
@@ -248,8 +248,7 @@ def import_attention_student_parts(variables: Dict, snapshot_dir: str,
 
     flat = dict(flatten_dict(variables))
     out = dict(flat)
-    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}
+    suffixes = _LEAF_SUFFIXES
     for path, template in flat.items():
         collection, *mods, leaf = path
         if not mods:
@@ -281,8 +280,7 @@ def import_attention_student_statedict(variables: Dict,
     (never called in the reference forward) is dropped."""
     sd = {k: np.asarray(v) for k, v in sd.items()
           if not k.endswith("num_batches_tracked")}
-    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}
+    suffixes = _LEAF_SUFFIXES
     seq_stem = {"conv0": "0", "bn0": "1", "conv1": "3", "bn1": "4"}
 
     def torch_key(mods: Tuple[str, ...], leaf: str) -> str:
@@ -337,8 +335,7 @@ def import_attention_steps_statedict(variables: Dict,
     """
     sd = {k: np.asarray(v) for k, v in sd.items()
           if not k.endswith("num_batches_tracked")}
-    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}
+    suffixes = _LEAF_SUFFIXES
     seq_stem = {"conv0": "0", "bn0": "1", "conv1": "3", "bn1": "4"}
 
     def torch_key(mods: Tuple[str, ...], leaf: str) -> str:
@@ -412,8 +409,7 @@ def import_student_statedict(variables: Dict, sd: Dict[str, np.ndarray],
     """
     sd = {k: np.asarray(v) for k, v in sd.items()
           if not k.endswith("num_batches_tracked")}
-    suffixes = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var"}
+    suffixes = _LEAF_SUFFIXES
 
     def torch_key(mods: Tuple[str, ...], leaf: str) -> str:
         head = mods[0]

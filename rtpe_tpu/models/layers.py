@@ -103,28 +103,3 @@ class TorchConvTranspose(nn.Module):
             preferred_element_type=jnp.float32,
         )
         return y.astype(self.dtype)
-
-
-class ConvBNRelu(nn.Module):
-    """conv -> BN -> optional ReLU, the ubiquitous reference triple."""
-
-    features: int
-    ksize: int = 3
-    stride: int = 1
-    padding: int = 1
-    dilation: int = 1
-    bias: bool = False
-    relu: bool = True
-    bn_momentum: float = BN_MOMENTUM_TORCH
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = conv(self.features, self.ksize, self.stride, self.padding,
-                 self.dilation, self.bias, self.dtype, name="conv")(x)
-        x = batch_norm(self.bn_momentum, name="bn")(
-            x, use_running_average=not train)
-        x = x.astype(self.dtype)
-        if self.relu:
-            x = nn.relu(x)
-        return x

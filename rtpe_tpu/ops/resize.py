@@ -32,28 +32,15 @@ def _bilinear_weight_matrix(in_size: int, out_size: int,
     """Dense (out_size, in_size) interpolation matrix, fp32.
 
     Row ``o`` holds the two source weights used by torch's bilinear
-    interpolation for output index ``o``.
+    interpolation for output index ``o`` — the dense form of
+    :func:`_bilinear_taps` (single source for the coordinate math).
     """
     w = np.zeros((out_size, in_size), dtype=np.float32)
-    if in_size == 1:
-        w[:, 0] = 1.0
-        return w
-    if align_corners:
-        if out_size == 1:
-            # torch maps the single output pixel to source coord 0
-            w[0, 0] = 1.0
-            return w
-        scale = (in_size - 1) / (out_size - 1)
-        src = np.arange(out_size, dtype=np.float64) * scale
-    else:
-        scale = in_size / out_size
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
-        src = np.clip(src, 0.0, in_size - 1)
-    lo = np.floor(src).astype(np.int64)
-    lo = np.clip(lo, 0, in_size - 2)
-    frac = src - lo
-    w[np.arange(out_size), lo] = (1.0 - frac).astype(np.float32)
-    w[np.arange(out_size), lo + 1] = frac.astype(np.float32)
+    lo, frac = _bilinear_taps(in_size, out_size, align_corners)
+    rows = np.arange(len(lo))
+    w[rows, lo] = (1.0 - frac).astype(np.float32)
+    np.add.at(w, (rows, np.minimum(lo + 1, in_size - 1)),
+              frac.astype(np.float32))
     return w
 
 

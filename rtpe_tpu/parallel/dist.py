@@ -27,11 +27,14 @@ def initialize(coordinator_address: Optional[str] = None,
         "COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return  # single host
+    if num_processes is None:
+        num_processes = int(os.environ.get("NUM_PROCESSES", 1))
+    if process_id is None:  # NOT `or`: an explicit rank 0 must win
+        process_id = int(os.environ.get("PROCESS_ID", 0))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=int(num_processes
-                          or os.environ.get("NUM_PROCESSES", 1)),
-        process_id=int(process_id or os.environ.get("PROCESS_ID", 0)))
+        num_processes=int(num_processes),
+        process_id=int(process_id))
 
 
 def make_multihost_mesh(n_model: int = 1) -> Mesh:

@@ -23,7 +23,14 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    devices = devices[: n_data * n_model]
+    used = n_data * n_model
+    if used < len(devices):
+        import warnings
+        warnings.warn(
+            f"mesh uses {used} of {len(devices)} devices "
+            f"(n_data={n_data} x n_model={n_model}); the rest idle",
+            stacklevel=2)
+    devices = devices[:used]
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 

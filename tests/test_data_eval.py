@@ -100,6 +100,12 @@ def test_device_render_matches_host(sigma):
     rng = np.random.RandomState(5)
     joints = rng.rand(3, 17, 3) * 90
     joints[..., 2] = (rng.rand(3, 17) > 0.3).astype(float)
+    # truncation-toward-zero edge: visible points with a coordinate in
+    # (-1, 0) land on row/column 0 via int() in the reference — the
+    # device renderer must not floor() them to -1 and drop them
+    joints[0, 0] = (-0.4, 10.0, 1.0)
+    joints[0, 1] = (12.0, -0.9, 1.0)
+    joints[0, 2] = (-1.5, 20.0, 1.0)  # and truly-outside stays dropped
     host = HeatmapGenerator(17, sigma)(joints, (80, 96))  # (J, H, W)
     dev = np.asarray(render_heatmaps(jnp.asarray(joints[None]),
                                      (80, 96), sigma))[0]  # (H, W, J)
