@@ -84,7 +84,6 @@ def _build(cls, data):
         if f.name not in data:
             continue
         v = data[f.name]
-        sub = f.type if dataclasses.is_dataclass(f.type) else None
         # nested dataclasses by field default type
         default = (f.default_factory() if f.default_factory
                    is not dataclasses.MISSING else f.default)

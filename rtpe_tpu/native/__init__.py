@@ -114,17 +114,24 @@ def build(verbose: bool = False) -> bool:
     if not src:
         return False
     out = os.path.join(here, "librtpe_native.so")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", out] + src
-    try:
-        res = subprocess.run(cmd, capture_output=True, text=True)
-        if verbose and res.returncode != 0:
+    # -march=x86-64-v3 (AVX2 baseline), NOT -march=native: the built .so
+    # can outlive the build host (container migration, shared volume) and
+    # a native-ISA binary then dies with SIGILL instead of falling back
+    for arch in ("-march=x86-64-v3", None):
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", out] + src
+        if arch:
+            cmd.insert(2, arch)
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True)
+        except FileNotFoundError:
+            return False
+        if res.returncode == 0:
+            global _LIB_TRIED
+            _LIB_TRIED = False
+            return True
+        if verbose:
             print(res.stderr)
-        global _LIB_TRIED
-        _LIB_TRIED = False
-        return res.returncode == 0
-    except FileNotFoundError:
-        return False
+    return False
 
 
 def lap_solve(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

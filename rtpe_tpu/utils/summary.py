@@ -41,12 +41,7 @@ def model_summary(variables: Dict, as_string: bool = True,
 
 
 def compiled_flops(jitted_fn, *args) -> Optional[float]:
-    """FLOPs of the lowered+compiled function per XLA cost analysis."""
-    try:
-        compiled = jitted_fn.lower(*args).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", float("nan")))
-    except Exception:
-        return None
+    """FLOPs of the compiled function (one shared implementation in
+    obs/profiling.py)."""
+    from ..obs.profiling import flops_of
+    return flops_of(jitted_fn, *args)

@@ -47,7 +47,8 @@ def main():
     # part 1: augmentation pipeline demo (no teacher maps needed) -------
     ds = CocoDistillationDataset(args.coco_dir, args.dataset,
                                  remove_images_without_annotations=True,
-                                 gt_stddevs_pix=[7.0])
+                                 gt_stddevs_pix=[7.0],
+                                 host_gt_heatmaps=False)  # device-rendered
     pipeline = TrainPipeline(ds, batch_size=4, out_hw=(450, 450),
                              sigma=7.0)
     import cv2
@@ -76,7 +77,7 @@ def main():
     val_ds = CocoDistillationDataset(
         args.coco_dir, args.dataset, args.teacher_dir,
         remove_images_without_annotations=False,
-        whitelist_ids=whitelist)
+        whitelist_ids=whitelist, host_gt_heatmaps=False)
     hm_parser = HeatmapParser(num_joints=17, max_num_people=30,
                               detection_threshold=0.1, tag_threshold=1.0,
                               use_detection_val=True,

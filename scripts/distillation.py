@@ -173,7 +173,7 @@ def main():
             args.coco_dir, args.train_dataset,
             remove_images_without_annotations=False,
             gt_stddevs_pix=[2.0], whitelist_ids=whitelist,
-            alt_colorspace="LAB")
+            alt_colorspace="LAB", host_gt_heatmaps=False)  # never read
     train_ds = CocoDistillationDataset(
         args.coco_dir, args.train_dataset, args.teacher_dir,
         remove_images_without_annotations=True,
@@ -210,6 +210,7 @@ def main():
         else:
             state = jax.device_put(state, NamedSharding(mesh, P()))
         global_step = int(np.asarray(state.step))
+        start_step = global_step  # rate must count THIS session's steps
         t_start = time.time()
         for epoch in range(args.num_epochs):
             for batch in pipeline:
@@ -221,7 +222,7 @@ def main():
                 global_step += 1
                 if global_step % 10 == 0 or global_step < 5:
                     m = {k: float(v) for k, v in metrics.items()}
-                    rate = (args.batch_size * global_step
+                    rate = (args.batch_size * (global_step - start_step)
                             / (time.time() - t_start))
                     log.info(f"epoch {epoch} step {global_step}: {m} "
                              f"({rate:.1f} img/s)")

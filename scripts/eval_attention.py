@@ -72,41 +72,72 @@ def main():
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     log.info(f"loaded snapshot {prefix} from {args.snapshot_dir}")
 
-    fwd = jax.jit(lambda x, alt: model.apply(variables, x, alt,
-                                             train=False))
-
     whitelist = read_whitelist(args.whitelist) if args.whitelist else None
     ds = CocoDistillationDataset(args.coco_dir, args.dataset,
                                  remove_images_without_annotations=False,
                                  gt_stddevs_pix=[2.0],
                                  whitelist_ids=whitelist,
-                                 alt_colorspace="LAB")
+                                 alt_colorspace="LAB",
+                                 host_gt_heatmaps=False)  # never read
 
     os.makedirs(args.save_dir, exist_ok=True)
     n = len(ds) if args.max_images is None else min(len(ds),
                                                     args.max_images)
-    losses = []
+
+    # bucket by image shape and evaluate whole batches per jitted call
+    # (COCO has hundreds of distinct shapes; a bs=1 native-shape loop
+    # recompiles the student for nearly every image).  Per-image losses
+    # are exact: the reduction is per image.
+    from collections import defaultdict
+    buckets = defaultdict(list)
     for i in range(n):
-        s = ds[i]
-        img = normalize_image(s["img"])
-        att, _ = fwd(jnp.asarray(img[None]),
-                     jnp.asarray(s["img_alt"][None]))
-        segm = resize_bilinear(
-            jnp.asarray(s["segm_mask"][None, :, :, None]),
-            att.shape[1:3], align_corners=False)
+        im = ds.coco.imgs[ds.ids[i]]
+        buckets[(im["height"], im["width"])].append(i)
+
+    @jax.jit
+    def batch_att(imgs, alts, segms):
+        att, _ = model.apply(variables, imgs, alts, train=False)
+        segm = resize_bilinear(segms, att.shape[1:3],
+                               align_corners=False)
         # quirk preserved: BCE-with-logits applied to the sigmoided map
         # (reference eval_attention.py:160-162)
-        att_loss = float(bce_with_logits(att, segm, pos_weight=7.0))
-        losses.append(att_loss)
-        log.info(f"VALIDATION img {i + 1}: att loss {att_loss:.5f}")
-        tb.scalar("validation att loss", att_loss, i + 1)
-        tb.scalar("validation img id", s["img_id"], i + 1)
-        if args.save_every and i % args.save_every == 0:
-            import cv2
-            amap = np.asarray(att[0, :, :, 0], np.float32)
-            amap = (np.clip(amap, 0, 1) * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(args.save_dir,
-                                     f"attention_{i}.png"), amap)
+        per_img = jax.vmap(lambda a, s: bce_with_logits(
+            a[None], s[None], pos_weight=7.0))(att, segm)
+        return att, per_img
+
+    bs = 8
+    losses = np.full(n, np.nan)
+    img_ids = np.zeros(n, np.int64)
+    for (h, w), idxs in sorted(buckets.items()):
+        for c0 in range(0, len(idxs), bs):
+            chunk = idxs[c0:c0 + bs]
+            m = len(chunk)
+            padded = chunk + [chunk[-1]] * (bs - m)
+            imgs = np.zeros((bs, h, w, 3), np.float32)
+            alts = np.zeros((bs, h, w, 3), np.float32)
+            segms = np.zeros((bs, h, w, 1), np.float32)
+            for k, i in enumerate(padded):
+                s = ds[i]
+                imgs[k] = normalize_image(s["img"])
+                alts[k] = s["img_alt"]
+                segms[k, :, :, 0] = s["segm_mask"]
+                if k < m:
+                    img_ids[i] = s["img_id"]
+            att, per_img = batch_att(jnp.asarray(imgs),
+                                     jnp.asarray(alts),
+                                     jnp.asarray(segms))
+            for k, i in enumerate(chunk):
+                losses[i] = float(per_img[k])
+                if args.save_every and i % args.save_every == 0:
+                    import cv2
+                    amap = np.asarray(att[k, :, :, 0], np.float32)
+                    amap = (np.clip(amap, 0, 1) * 255).astype(np.uint8)
+                    cv2.imwrite(os.path.join(args.save_dir,
+                                             f"attention_{i}.png"), amap)
+    for i in range(n):  # TB series in dataset order, like the reference
+        log.info(f"VALIDATION img {i + 1}: att loss {losses[i]:.5f}")
+        tb.scalar("validation att loss", losses[i], i + 1)
+        tb.scalar("validation img id", img_ids[i], i + 1)
     log.info(f"mean attention loss over {n} images: "
              f"{float(np.mean(losses)):.5f}")
     tb.close()

@@ -56,24 +56,34 @@ def main():
     log = ColorLogger(os.path.basename(__file__))
     os.makedirs(args.out_dir, exist_ok=True)
 
-    model, variables = get_hrnet_w48_teacher(args.model_path)
+    mp = args.model_path if (args.model_path
+                             and os.path.exists(args.model_path)) else None
+    if mp is None:
+        log.warning(f"model path {args.model_path!r} not found: "
+                    f"RANDOM-INIT teacher (the npz corpus will be noise)")
+    model, variables = get_hrnet_w48_teacher(mp)
     fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
 
-    # preprocess on host, bucket by resized shape
+    # bucket PATHS by original image size (from the header — no pixel
+    # decode), then stream each chunk: decode/preprocess just-in-time so
+    # a full-train2017 corpus run holds one batch in host memory, not
+    # ~35+ GB of preloaded inputs
     from PIL import Image
     buckets = defaultdict(list)
     for img_path in args.input_paths:
+        with Image.open(img_path) as im:
+            w, h = im.size
+        buckets[(h, w)].append(img_path)
+
+    def load(img_path):
         img = np.asarray(Image.open(img_path).convert("RGB"),
                          dtype=np.float32)
-        resized, center, scale = resize_align_multi_scale(
-            img, INPUT_SIZE, 1, 1)
-        t = normalize_image(resized / 255.0)
-        buckets[t.shape].append((img_path, t))
-        log.info(f"prepared {img_path} -> {t.shape}")
+        resized, _, _ = resize_align_multi_scale(img, INPUT_SIZE, 1, 1)
+        return normalize_image(resized / 255.0)
 
-    for shape, items in buckets.items():
-        for i in range(0, len(items), args.batch_size):
-            chunk = items[i:i + args.batch_size]
+    for shape, paths in sorted(buckets.items()):
+        for i in range(0, len(paths), args.batch_size):
+            chunk = [(p, load(p)) for p in paths[i:i + args.batch_size]]
             x = jnp.asarray(np.stack([t for _, t in chunk]))
             coarse, refined = fwd(x)
             coarse = np.asarray(coarse, np.float32)

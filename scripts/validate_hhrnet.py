@@ -56,7 +56,6 @@ def main():
 
     from rtpe_tpu.data import CocoDistillationDataset, read_whitelist
     from rtpe_tpu.data.preprocess import (
-        get_final_preds,
         normalize_image,
         resize_align_multi_scale,
     )
@@ -73,8 +72,14 @@ def main():
     whitelist = read_whitelist(args.whitelist) if args.whitelist else None
     ds = CocoDistillationDataset(args.coco_dir, args.dataset,
                                  remove_images_without_annotations=False,
-                                 whitelist_ids=whitelist)
-    model, variables = get_hrnet_w48_teacher(args.model_path)
+                                 whitelist_ids=whitelist,
+                                 host_gt_heatmaps=False)  # never read
+    mp = args.model_path if (args.model_path
+                             and os.path.exists(args.model_path)) else None
+    if mp is None:
+        log.warning(f"model path {args.model_path!r} not found: "
+                    f"RANDOM-INIT teacher (shape/drive runs only)")
+    model, variables = get_hrnet_w48_teacher(mp)
     fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
     # parser params: reference validate_hhrnet.py:78; 'first'/'mean' AE
     # modes reduce tags to one channel shared across joints
@@ -100,30 +105,34 @@ def main():
     n = len(ds) if args.max_images is None else min(len(ds),
                                                     args.max_images)
 
-    # preprocess on host and bucket by resized shape so images sharing
-    # one shape can be forwarded together (the reference forwards one
-    # image at a time, validate_hhrnet.py:84-93)
+    # bucket indices by ORIGINAL (H, W) from the annotation metadata —
+    # the post-resize shape is a pure function of it — and stream each
+    # chunk: decode/preprocess just-in-time so host memory holds one
+    # batch, not the whole dataset (the reference forwards one image at
+    # a time, validate_hhrnet.py:84-93; a full val2017 preload would
+    # need ~50 GB)
     from collections import defaultdict
     buckets = defaultdict(list)
-    originals = {}
     for i in range(n):
-        sample = ds[i]
-        img = sample["img"] * 255.0
-        resized, center, scale = resize_align_multi_scale(
-            img, args.input_size, 1, 1)
-        x = normalize_image(resized / 255.0)
-        originals[i] = (img, sample["img_id"])
-        buckets[x.shape].append((i, x))
-        wd.alive()
+        im = ds.coco.imgs[ds.ids[i]]
+        buckets[(im["height"], im["width"])].append(i)
 
     all_preds = [None] * n
     all_scores = [None] * n
     done = 0
-    for shape, items in buckets.items():
+    for shape, idxs in sorted(buckets.items()):
         bs = 1 if use_tta else max(1, args.batch_size)
-        for s0 in range(0, len(items), bs):
-            chunk = items[s0:s0 + bs]
-            xb = jnp.asarray(np.stack([x for _, x in chunk]))
+        for s0 in range(0, len(idxs), bs):
+            chunk = []
+            for i in idxs[s0:s0 + bs]:
+                sample = ds[i]
+                img = sample["img"] * 255.0
+                resized, _, _ = resize_align_multi_scale(
+                    img, args.input_size, 1, 1)
+                chunk.append((i, normalize_image(resized / 255.0),
+                              img, sample["img_id"]))
+                wd.alive()
+            xb = jnp.asarray(np.stack([x for _, x, _, _ in chunk]))
             if use_tta:
                 hm_b, tag_b = tta_forward(
                     fwd, xb, num_joints=17, with_flip=args.flip,
@@ -132,8 +141,7 @@ def main():
                 coarse, refined = fwd(xb)
                 hm_b = refined[..., :17].astype(jnp.float32)
                 tag_b = coarse[..., 17:].astype(jnp.float32)
-            for k, (i, _) in enumerate(chunk):
-                img, img_id = originals[i]
+            for k, (i, _, img, img_id) in enumerate(chunk):
                 h, w = img.shape[:2]
                 hms = resize_bilinear(hm_b[k:k + 1], (h, w),
                                       align_corners=True)
