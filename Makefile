@@ -1,9 +1,12 @@
 # Developer entry points
 
-.PHONY: test bench native clean verify-contracts
+.PHONY: test test-cli bench native clean verify-contracts
 
 test:
 	python -m pytest tests/ -q
+
+test-cli:  # end-to-end subprocess drives of the entry scripts (slow)
+	RTPE_CLI_TESTS=1 python -m pytest tests/test_scripts.py -q
 
 bench:
 	python bench.py

@@ -55,6 +55,8 @@ def parse_args():
     p.add_argument("--num_epochs", type=int, default=20000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--train_hw", type=int, nargs=2, default=[450, 450])
+    p.add_argument("--canvas_hw", type=int, nargs=2, default=[640, 640],
+                   help="host canvas; must cover the dataset's images")
     p.add_argument("--train_gt_stddev", type=float, default=7.0)
     p.add_argument("--alpha", type=float, default=0.8)
     p.add_argument("--snapshot_dir", default=os.path.join("models",
@@ -182,6 +184,7 @@ def main():
     pipeline = TrainPipeline(train_ds, batch_size=args.batch_size,
                              out_hw=tuple(args.train_hw),
                              sigma=args.train_gt_stddev,
+                             canvas_hw=tuple(args.canvas_hw),
                              num_workers=args.num_workers)
     log.info(f"train dataset: {len(train_ds)} images, "
              f"{len(pipeline)} steps/epoch")

@@ -35,6 +35,8 @@ def main():
                         help="Path to the HigherHRNet_w48_640 state dict")
     parser.add_argument("-C", "--force_cpu", action="store_true",
                         help="Run on CPU even if a TPU is present")
+    parser.add_argument("--input_size", type=int, default=INPUT_SIZE,
+                        help="resize-align target (reference fixes 640)")
     parser.add_argument("-b", "--batch_size", type=int, default=4,
                         help="Per-bucket batch size")
     args = parser.parse_args()
@@ -78,7 +80,8 @@ def main():
     def load(img_path):
         img = np.asarray(Image.open(img_path).convert("RGB"),
                          dtype=np.float32)
-        resized, _, _ = resize_align_multi_scale(img, INPUT_SIZE, 1, 1)
+        resized, _, _ = resize_align_multi_scale(img, args.input_size,
+                                                 1, 1)
         return normalize_image(resized / 255.0)
 
     for shape, paths in sorted(buckets.items()):

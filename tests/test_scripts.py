@@ -1,0 +1,166 @@
+"""CLI smoke drives for the entry scripts (subprocess, CPU, tiny sizes).
+
+The six entry points are the reference's user-facing contracts
+(SURVEY.md §2.1); until round 2 they were only driven manually.  Each
+test runs the real script in a subprocess on a synthetic COCO fixture
+with sizes small enough for CPU compiles, asserting the end-to-end
+artifact (stats dict, npz corpus, snapshot parts, PNGs) — not just
+rc=0.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Each drive pays a fresh jax import + CPU compile in a subprocess
+# (~2-4 min each), too slow for the default suite — run with
+# ``make test-cli`` (RTPE_CLI_TESTS=1).
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RTPE_CLI_TESTS"),
+    reason="CLI subprocess drives are slow; set RTPE_CLI_TESTS=1 "
+           "(make test-cli)")
+
+
+@pytest.fixture(scope="module")
+def cli_coco(tmp_path_factory):
+    """Tiny COCO + teacher-npz fixture (4 images, 96x128)."""
+    import cv2
+
+    from rtpe_tpu.data.teacher_cache import save_teacher_prediction
+
+    root = str(tmp_path_factory.mktemp("cli_coco"))
+    os.makedirs(os.path.join(root, "annotations"))
+    os.makedirs(os.path.join(root, "images", "val2017"))
+    os.makedirs(os.path.join(root, "teacher"))
+    rng = np.random.RandomState(0)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h // 2, 0:w // 2]
+    images, annotations = [], []
+    aid = 1
+    for i in range(4):
+        img_id = 1000 + i
+        fname = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(root, "images", "val2017", fname),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        images.append({"id": img_id, "file_name": fname,
+                       "height": h, "width": w})
+        for _ in range(2):
+            cx, cy = rng.randint(20, w - 30), rng.randint(20, h - 30)
+            kps = []
+            for j in range(17):
+                kps += [int(cx + (j % 5) * 2), int(cy + (j // 5) * 2), 2]
+            annotations.append({
+                "id": aid, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": 17, "iscrowd": 0,
+                "area": 144.0, "bbox": [cx - 3, cy - 3, 14, 12],
+                "segmentation": [[cx - 3, cy - 3, cx + 11, cy - 3,
+                                  cx + 11, cy + 9, cx - 3, cy + 9]]})
+            aid += 1
+        refined = np.zeros((h // 2, w // 2, 17), np.float32)
+        for j in range(17):
+            cx2 = rng.randint(10, w // 2 - 10)
+            cy2 = rng.randint(10, h // 2 - 10)
+            refined[:, :, j] = np.exp(
+                -((xx - cx2) ** 2 + (yy - cy2) ** 2) / 20.0)
+        coarse = np.concatenate(
+            [refined[::2, ::2],
+             np.zeros((h // 4, w // 4, 17), np.float32)], axis=-1)
+        save_teacher_prediction(os.path.join(root, "teacher"), fname,
+                                coarse, refined)
+    with open(os.path.join(root, "annotations",
+                           "person_keypoints_val2017.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person",
+                                   "keypoints": ["k"] * 17}]}, f)
+    return root
+
+
+def _run(script, args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # no 8-device emulation: faster compiles
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script)] + args,
+        env=env, cwd=REPO, capture_output=True, text=True,
+        timeout=timeout)
+    if res.returncode != 0:
+        raise AssertionError(
+            f"{script} rc={res.returncode}\n--- stdout:\n"
+            f"{res.stdout[-1500:]}\n--- stderr:\n{res.stderr[-3000:]}")
+    return res
+
+
+def test_validate_hhrnet_cli(cli_coco, tmp_path):
+    res = _run("validate_hhrnet.py", [
+        "--coco_dir", cli_coco, "-m", "/nonexistent",
+        "--input_size", "128", "--max_images", "3",
+        "--save_every", "2", "--save_dir", str(tmp_path),
+        "--batch_size", "2"])
+    stats = eval(res.stdout.strip().splitlines()[-1])
+    assert set(stats) >= {"AP", "AR", "Ap .5"}
+    assert any(f.startswith("validate_hhrnet_") for f in
+               os.listdir(tmp_path))
+
+
+def test_teacher_inference_cli(cli_coco, tmp_path):
+    imgs = sorted(
+        os.path.join(cli_coco, "images", "val2017", f)
+        for f in os.listdir(os.path.join(cli_coco, "images", "val2017")))
+    out = str(tmp_path / "corpus")
+    _run("teacher_inference.py",
+         ["-I"] + imgs[:2] + ["-o", out, "-m", "/nonexistent",
+                              "--input_size", "64", "-b", "2"])
+    files = sorted(os.listdir(out))
+    assert len(files) == 2 and files[0].endswith("_w48_predictions.npz")
+    with np.load(os.path.join(out, files[0])) as z:
+        # the reference's npz key contract (teacher_inference.py)
+        assert {"pred_heatmaps", "embeddings", "heatmaps_refined",
+                "heatmaps_order"} <= set(z.keys())
+
+
+def test_distillation_cli_and_eval_attention_cli(cli_coco, tmp_path):
+    snaps = str(tmp_path / "snaps")
+    _run("distillation.py", [
+        "--coco_dir", cli_coco, "--teacher_dir",
+        os.path.join(cli_coco, "teacher"),
+        "--model_path", "/nonexistent",
+        "--inplanes", "8", "--batch_size", "2", "--train_hw", "64", "64",
+        "--canvas_hw", "96", "128", "--max_steps", "2",
+        "--num_epochs", "1", "--snapshot_dir", snaps,
+        "--log_dir", str(tmp_path / "log"),
+        "--tb_dir", str(tmp_path / "tb"),
+        "--diagnose_every", "0", "--num_workers", "1"], timeout=900)
+    suffix = "mid_stem.statedict.npz"
+    marker = [f for f in os.listdir(snaps) if f.endswith(suffix)]
+    assert marker, os.listdir(snaps)
+    # reference part naming: {timestamp}_epoch{E}_step{S}{part}
+    prefix = marker[0][: -len(suffix)]
+    ts, epoch_step = prefix.rsplit("_epoch", 1)
+    epoch, step = epoch_step.split("_step")
+
+    res = _run("eval_attention.py", [
+        "--coco_dir", cli_coco, "--snapshot_dir", snaps,
+        "--load_timestamp", ts, "--load_epoch", epoch,
+        "--load_step", step, "--model_path", "/nonexistent",
+        "--inplanes", "8", "--max_images", "2", "--save_every", "1",
+        "--save_dir", str(tmp_path / "att"),
+        "--tb_dir", str(tmp_path / "att_tb")])
+    assert "mean attention loss" in res.stdout + res.stderr
+    assert any(f.startswith("attention_")
+               for f in os.listdir(tmp_path / "att"))
+
+
+def test_dataloader_demo_cli(cli_coco, tmp_path):
+    res = _run("dataloader_demo.py", [
+        "--coco_dir", cli_coco,
+        "--teacher_dir", os.path.join(cli_coco, "teacher"),
+        "--num_demo_batches", "1", "--max_eval_images", "2",
+        "--save_dir", str(tmp_path)])
+    out = res.stdout + res.stderr
+    assert "AP" in out
