@@ -59,14 +59,16 @@ TORCH_BASELINE_IMG_S = 9.3  # see module docstring
 SCAN_LEN = 10
 _FILE = os.path.abspath(__file__)
 
-# per-section subprocess timeouts (compile ~30-130 s when healthy;
-# a wedge never returns, so the timeout is the only bound that matters)
+# per-section subprocess timeouts.  The remote-compile service's speed
+# varies by an order of magnitude (the same train-step compile measured
+# 36 s and 309 s hours apart), so these bound the slow-service case; a
+# WEDGE never returns at all, and then the timeout is the only bound.
 SECTION_TIMEOUT = {
-    "headline": 300,
-    "int8": 280,
-    "train": 260,
-    "decode": 200,
-    "canonical": 260,
+    "headline": 420,
+    "int8": 420,
+    "train": 460,
+    "decode": 240,
+    "canonical": 360,
 }
 
 
@@ -365,7 +367,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "540"))
+        os.environ.get("RTPE_BENCH_BUDGET_S", "1200"))
 
     headline = None
     extra = {}
@@ -389,7 +391,10 @@ def main():
             log(f"headline attempt {attempt + 1} failed; budget exhausted")
             break
         log(f"headline attempt {attempt + 1} failed; retrying")
-    for name in ("int8", "train", "decode", "canonical"):
+    # extras in value order: the train step is a driver-tracked metric
+    # (VERDICT r1 item 4), so it runs before the int8 showcase when the
+    # compile service is slow enough that the budget cuts the tail
+    for name in ("train", "int8", "decode", "canonical"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
