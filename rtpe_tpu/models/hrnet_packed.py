@@ -167,8 +167,19 @@ def pack_w48_params(variables, cfg: HRNetConfig = None,
 
 def calibrate_act_scales(pk: PackedParams, xs, cfg: HRNetConfig = None,
                          dtype: Dtype = jnp.bfloat16,
-                         on_cpu: bool = True) -> Dict[str, float]:
+                         on_cpu: bool = True,
+                         percentile: float = None) -> Dict[str, float]:
     """Per-conv input abs-max over calibration batches ``xs``.
+
+    ``percentile`` (e.g. 99.9) clips the activation range at that
+    percentile of |x| instead of the absolute max — the standard
+    production-int8 choice: a handful of outliers otherwise inflate the
+    scale and waste quantization resolution on the bulk of the
+    distribution (outliers then saturate to ±127, which int8 matmul
+    tolerates far better than a coarse step size).  On outlier-free
+    synthetic activations absmax measures tighter (0.027 vs 0.062 worst
+    rel err on the random-init test); pick per-deployment against real
+    calibration data.
 
     One jitted capture forward per batch: every conv's input abs-max is
     collected as an auxiliary output (the _CalibEntry hook in
@@ -187,7 +198,7 @@ def calibrate_act_scales(pk: PackedParams, xs, cfg: HRNetConfig = None,
     @jax.jit
     def capture(x):
         store: Dict[str, jax.Array] = {}
-        pkc = {k: _CalibEntry(w, b, k, store)
+        pkc = {k: _CalibEntry(w, b, k, store, q=percentile)
                for k, (w, b) in pk.items()}
         packed_forward(pkc, x, cfg, dtype)
         return store
@@ -244,12 +255,14 @@ def quantize_packed(pk: PackedParams, act_scales: Dict[str, float]
 
 
 class _CalibEntry:
-    """Calibration wrapper: records max|input| per conv into ``store``."""
+    """Calibration wrapper: records the per-conv input range into
+    ``store`` — max|x|, or the ``q``-th percentile of |x| when set."""
 
-    __slots__ = ("w", "b", "name", "store")
+    __slots__ = ("w", "b", "name", "store", "q")
 
-    def __init__(self, w, b, name, store):
+    def __init__(self, w, b, name, store, q=None):
         self.w, self.b, self.name, self.store = w, b, name, store
+        self.q = q
 
 
 def _geometry(kind, kernel, stride=1, pad=None, stride_w=1):
@@ -283,7 +296,9 @@ def _apply(kind, x, wb, stride=1, pad=None, stride_w=1):
         return qt.qconv(x, wb, strides, padding, lhs_dilation=dil,
                         flip=flip)
     if isinstance(wb, _CalibEntry):
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        ax = jnp.abs(x.astype(jnp.float32))
+        amax = (jnp.max(ax) if wb.q is None
+                else jnp.quantile(ax.ravel(), wb.q / 100.0))
         prev = wb.store.get(wb.name)
         wb.store[wb.name] = amax if prev is None else jnp.maximum(prev,
                                                                   amax)

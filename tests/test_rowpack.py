@@ -216,20 +216,35 @@ def test_w48_int8_quantized_forward(rng):
     assert len(scales) == len(pk)
     assert all(s > 0 for s in scales.values())
 
-    pkq = quantize_packed(pk, scales)
-    qc, qr = packed_forward(pkq, x, cfg, dtype=jnp.float32)
     fc, fr = packed_forward(pk, x, cfg, dtype=jnp.float32)
-    assert qc.shape == fc.shape and qr.shape == fr.shape
-    for a, b in ((np.asarray(fc), np.asarray(qc)),
-                 (np.asarray(fr), np.asarray(qr))):
-        assert np.isfinite(b).all()
-        denom = max(np.abs(a).max(), 1e-6)
-        rel = np.abs(a - b).max() / denom
-        # int8 through ~100 sequential convs on random weights
-        assert rel < 0.15, rel
-        # and the outputs must be strongly correlated, not just bounded
-        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
-        assert corr > 0.99, corr
+
+    def check(scale_set):
+        pkq = quantize_packed(pk, scale_set)
+        qc, qr = packed_forward(pkq, x, cfg, dtype=jnp.float32)
+        assert qc.shape == fc.shape and qr.shape == fr.shape
+        worst = 0.0
+        for a, b in ((np.asarray(fc), np.asarray(qc)),
+                     (np.asarray(fr), np.asarray(qr))):
+            assert np.isfinite(b).all()
+            denom = max(np.abs(a).max(), 1e-6)
+            rel = np.abs(a - b).max() / denom
+            # int8 through ~100 sequential convs on random weights
+            assert rel < 0.15, rel
+            # outputs must be strongly correlated, not just bounded
+            corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+            assert corr > 0.99, corr
+            worst = max(worst, rel)
+        return worst
+
+    err_max = check(scales)
+
+    # percentile-clipped calibration (production default: outliers
+    # saturate instead of inflating every scale) must also hold
+    scales_p = calibrate_act_scales(pk, [x], cfg, dtype=jnp.float32,
+                                    percentile=99.9)
+    assert all(scales_p[k] <= scales[k] * (1 + 1e-6) for k in scales)
+    err_p = check(scales_p)
+    print(f"int8 worst rel err: absmax {err_max:.4f}, p99.9 {err_p:.4f}")
 
 
 def test_packed_int8_predictor_smoke(rng):
