@@ -1,9 +1,12 @@
 # Developer entry points
 
-.PHONY: test test-cli bench native clean verify-contracts
+.PHONY: test test-quick test-cli bench native clean verify-contracts
 
 test:
 	python -m pytest tests/ -q
+
+test-quick:  # quick lane: skips @pytest.mark.slow (full suite ~13 min, this <4)
+	python -m pytest tests/ -q -m "not slow"
 
 test-cli:  # end-to-end subprocess drives of the entry scripts (slow)
 	RTPE_CLI_TESTS=1 python -m pytest tests/test_scripts.py -q

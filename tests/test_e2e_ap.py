@@ -69,6 +69,7 @@ def test_ideal_heatmaps_reach_full_ap50(tmp_path, decode_mode):
         root, "results", "keypoints_val2017_results.json"))
 
 
+@pytest.mark.slow
 def test_pose_predictor_api(tmp_path):
     """PosePredictor: raw image in, original-coordinate people out."""
     import jax

@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(
     reason="pretrained snapshot not mounted")
 
 
+@pytest.mark.slow
 def test_attention_steps_full_statedict_parity():
     """Full-model parity for the flagship AttentionStudentSteps: torch
     statedict -> flax via the complete importer; (att, det) outputs must
@@ -176,6 +177,7 @@ def test_attention_student_full_statedict_parity():
         rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_attention_student_real_snapshot_parity():
     add_reference_to_path()
     from rtpe.students import AttentionStudent as TorchAttentionStudent

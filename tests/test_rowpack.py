@@ -133,6 +133,7 @@ def test_fold_bn(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_w48_packed_forward_parity(rng):
     """Full-model: packed fp32 forward == canonical apply (fp32 noise).
 
@@ -170,6 +171,7 @@ def test_w48_packed_forward_parity(rng):
         assert rel < 1e-4, rel
 
 
+@pytest.mark.slow
 def test_packed_predictor_smoke(rng):
     """PosePredictor(packed=True) runs end-to-end and agrees with the
     canonical predictor on the same random teacher."""
@@ -185,6 +187,7 @@ def test_packed_predictor_smoke(rng):
     assert isinstance(people, list) and isinstance(scores, list)
 
 
+@pytest.mark.slow
 def test_w48_int8_quantized_forward(rng):
     """int8 packed path: calibrate on one batch, quantize, and check the
     quantized forward tracks the fp32 packed forward.
@@ -247,6 +250,7 @@ def test_w48_int8_quantized_forward(rng):
     print(f"int8 worst rel err: absmax {err_max:.4f}, p99.9 {err_p:.4f}")
 
 
+@pytest.mark.slow
 def test_packed_int8_predictor_smoke(rng):
     """PosePredictor(packed=True, int8=True) runs end-to-end, with and
     without user calibration images."""
@@ -266,6 +270,7 @@ def test_packed_int8_predictor_smoke(rng):
         PosePredictor(model, v, input_size=96, int8=True)
 
 
+@pytest.mark.slow
 def test_predictor_batch_mesh_serving(rng):
     """predict_batch on an 8-device data mesh: sharded forward,
     per-image results equal the single-image path."""
@@ -292,6 +297,7 @@ def test_predictor_batch_mesh_serving(rng):
                                        rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_predictor_stream_matches_predict(rng):
     """stream() pipelines forward/decode but must yield exactly the
     per-frame results of predict()."""

@@ -5,6 +5,7 @@ SURVEY.md §5.7).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def _canonical_stem(variables, x):
     return x
 
 
+@pytest.mark.slow
 def test_sharded_stem_equals_unsharded_at_1k_px():
     mesh = make_mesh(n_data=2, n_model=4)
     model = PoseHigherHRNet(cfg=w48_config(), dtype=jnp.float32)

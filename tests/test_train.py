@@ -125,6 +125,7 @@ def test_label_params_partition():
             assert lab == "att", path
 
 
+@pytest.mark.slow
 def test_train_step_on_cpu_mesh():
     mesh = make_mesh()
     assert mesh.devices.size == 8
@@ -190,6 +191,7 @@ def _tiny_model_and_batch(b=8, h=32, w=32, seed=0):
     return model, variables, batch
 
 
+@pytest.mark.slow
 def test_grad_accum_equals_single_step_on_duplicated_batch():
     """grad_accum=2 on a batch of two identical halves must produce the
     exact same parameter/optimizer update as grad_accum=1 on one half:
@@ -217,6 +219,7 @@ def test_grad_accum_equals_single_step_on_duplicated_batch():
                                    rtol=1e-5, atol=1e-6, err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_grad_accum_is_mean_of_microbatch_grads():
     """Accumulated gradients == arithmetic mean of the per-microbatch
     gradients computed independently with chained batch_stats (the
@@ -289,6 +292,7 @@ def test_grad_accum_is_mean_of_microbatch_grads():
                                    rtol=1e-5, atol=1e-6, err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_zero1_sharded_opt_state_matches_replicated():
     """ZeRO-1 on the 8-way CPU mesh: momentum buffers are physically
     1/8 per device, and one train step produces the same result as the
