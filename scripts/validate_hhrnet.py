@@ -42,6 +42,24 @@ def main():
                         help="images sharing a resize shape are "
                              "forwarded together (the reference is "
                              "strictly one image at a time)")
+    parser.add_argument("--allow_random_init", action="store_true",
+                        help="Proceed with a RANDOM-INIT teacher when "
+                             "model_path does not exist (smoke/shape "
+                             "runs only; the AP numbers are "
+                             "meaningless). Missing path is otherwise "
+                             "a hard error.")
+    parser.add_argument("--packed", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="Run the forward through the row-packed "
+                             "fast path (BN folded; same function, "
+                             "~2.5x on TPU).  --no-packed evaluates "
+                             "the canonical parity surface.")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantized packed forward, "
+                             "activation scales calibrated on the "
+                             "first val images (requires --packed); "
+                             "quantized numerics — compare AP vs bf16 "
+                             "before quoting results")
     parser.add_argument("--ae_mode", default="full",
                         choices=["full", "first", "mean"],
                         help="associative-embedding ablations from the "
@@ -50,6 +68,8 @@ def main():
                              "(legacy/valid_ae1dim.py), 'mean' averages "
                              "the dims (legacy/valid_ae_avg.py)")
     args = parser.parse_args()
+    if args.int8 and not args.packed:
+        parser.error("--int8 requires --packed")
 
     import jax
     import jax.numpy as jnp
@@ -77,10 +97,34 @@ def main():
     mp = args.model_path if (args.model_path
                              and os.path.exists(args.model_path)) else None
     if mp is None:
+        if not args.allow_random_init:
+            log.error(f"model path {args.model_path!r} not found; pass "
+                      f"--allow_random_init for a smoke/shape run")
+            sys.exit(2)
         log.warning(f"model path {args.model_path!r} not found: "
                     f"RANDOM-INIT teacher (shape/drive runs only)")
     model, variables = get_hrnet_w48_teacher(mp)
-    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    if args.packed:
+        from rtpe_tpu.models import pack_w48_params, packed_forward
+        cfg = model.cfg
+        pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+        if args.int8:
+            from rtpe_tpu.models import (calibrate_act_scales,
+                                         quantize_packed)
+            calib = []
+            for i in range(min(4, len(ds))):
+                im = ds[i]["img"] * 255.0
+                r, _, _ = resize_align_multi_scale(im, args.input_size,
+                                                   1, 1)
+                calib.append(normalize_image(r / 255.0)[None])
+            scales_d = calibrate_act_scales(pk, calib, cfg)
+            pk = jax.jit(lambda p: quantize_packed(p, scales_d))(pk)
+        fwd = jax.jit(lambda x: packed_forward(pk, x, cfg))
+        log.info("forward path: packed" + (" + int8" if args.int8
+                                           else " bf16"))
+    else:
+        fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+        log.info("forward path: canonical")
     # parser params: reference validate_hhrnet.py:78; 'first'/'mean' AE
     # modes reduce tags to one channel shared across joints
     hm_parser = HeatmapParser(num_joints=17, max_num_people=30,
@@ -120,6 +164,8 @@ def main():
     all_preds = [None] * n
     all_scores = [None] * n
     done = 0
+    import time
+    fwd_s = 0.0
     for shape, idxs in sorted(buckets.items()):
         bs = 1 if use_tta else max(1, args.batch_size)
         for s0 in range(0, len(idxs), bs):
@@ -133,6 +179,7 @@ def main():
                               img, sample["img_id"]))
                 wd.alive()
             xb = jnp.asarray(np.stack([x for _, x, _, _ in chunk]))
+            t0 = time.time()
             if use_tta:
                 hm_b, tag_b = tta_forward(
                     fwd, xb, num_joints=17, with_flip=args.flip,
@@ -141,17 +188,23 @@ def main():
                 coarse, refined = fwd(xb)
                 hm_b = refined[..., :17].astype(jnp.float32)
                 tag_b = coarse[..., 17:].astype(jnp.float32)
+            hm_b.block_until_ready()
+            fwd_s += time.time() - t0
+            # one batched upsample + one batched decode per chunk: the
+            # bucket shares the original (h, w), so parse_batch
+            # amortizes the fixed per-dispatch host-pull latency over
+            # the whole chunk (round-2 decode work; the reference
+            # parses strictly per image, validate_hhrnet.py:100)
+            h, w = shape
+            hms_b = resize_bilinear(hm_b, (h, w), align_corners=True)
+            aes_b = resize_bilinear(tag_b, (h, w), align_corners=True)
+            grouped_b, scores_b = hm_parser.parse_batch(
+                hms_b, reduce_ae(aes_b), adjust=True, refine=True)
             for k, (i, _, img, img_id) in enumerate(chunk):
-                h, w = img.shape[:2]
-                hms = resize_bilinear(hm_b[k:k + 1], (h, w),
-                                      align_corners=True)
-                aes = resize_bilinear(tag_b[k:k + 1], (h, w),
-                                      align_corners=True)
-                grouped, scores = hm_parser.parse(
-                    hms, reduce_ae(aes), adjust=True, refine=True)
-                final = [p for p in grouped[0] if p.size > 0]
+                final = [p for p in grouped_b[k]
+                         if np.asarray(p).size > 0]
                 all_preds[i] = final
-                all_scores[i] = scores
+                all_scores[i] = scores_b[k]
                 done += 1
                 wd.alive()
                 log.info(f"[{done}/{n}] {img_id}: {len(final)} people")
@@ -161,11 +214,15 @@ def main():
                         os.path.join(args.save_dir,
                                      f"validate_hhrnet_{i}.jpg"))
 
+    if done and fwd_s > 0:
+        log.info(f"teacher forward rate: {done / fwd_s:.1f} img/s "
+                 f"({done} images, {fwd_s:.1f}s incl. compile)")
     ds.ids = ds.ids[:n]
     stats = ds.evaluate(all_preds, all_scores)
     for k, v in stats.items():
         log.info(f"{k}={v}")
-    print(stats)
+    import json
+    print(json.dumps(stats))
 
 
 if __name__ == "__main__":

@@ -81,7 +81,7 @@ def cli_coco(tmp_path_factory):
     return root
 
 
-def _run(script, args, timeout=420):
+def _run(script, args, timeout=600):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # no 8-device emulation: faster compiles
@@ -99,10 +99,11 @@ def _run(script, args, timeout=420):
 def test_validate_hhrnet_cli(cli_coco, tmp_path):
     res = _run("validate_hhrnet.py", [
         "--coco_dir", cli_coco, "-m", "/nonexistent",
+        "--allow_random_init",
         "--input_size", "128", "--max_images", "3",
         "--save_every", "2", "--save_dir", str(tmp_path),
         "--batch_size", "2"])
-    stats = eval(res.stdout.strip().splitlines()[-1])
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
     assert set(stats) >= {"AP", "AR", "Ap .5"}
     assert any(f.startswith("validate_hhrnet_") for f in
                os.listdir(tmp_path))
@@ -115,6 +116,7 @@ def test_teacher_inference_cli(cli_coco, tmp_path):
     out = str(tmp_path / "corpus")
     _run("teacher_inference.py",
          ["-I"] + imgs[:2] + ["-o", out, "-m", "/nonexistent",
+                              "--allow_random_init",
                               "--input_size", "64", "-b", "2"])
     files = sorted(os.listdir(out))
     assert len(files) == 2 and files[0].endswith("_w48_predictions.npz")
@@ -154,6 +156,53 @@ def test_distillation_cli_and_eval_attention_cli(cli_coco, tmp_path):
     assert "mean attention loss" in res.stdout + res.stderr
     assert any(f.startswith("attention_")
                for f in os.listdir(tmp_path / "att"))
+
+
+def test_teacher_inference_packed_matches_canonical(cli_coco, tmp_path):
+    """The corpus job's default (packed) path must write npz files that
+    agree with the canonical parity surface (VERDICT r2 item 1)."""
+    imgs = sorted(
+        os.path.join(cli_coco, "images", "val2017", f)
+        for f in os.listdir(os.path.join(cli_coco, "images", "val2017")))
+    out_c = str(tmp_path / "canon")
+    out_p = str(tmp_path / "packed")
+    common = ["-I"] + imgs[:2] + ["-m", "/nonexistent",
+                                  "--allow_random_init",
+                                  "--input_size", "64", "-b", "2"]
+    _run("teacher_inference.py", common + ["-o", out_c, "--no-packed"])
+    _run("teacher_inference.py", common + ["-o", out_p])  # packed default
+    files = sorted(os.listdir(out_c))
+    assert files == sorted(os.listdir(out_p))
+    for f in files:
+        with np.load(os.path.join(out_c, f)) as zc, \
+                np.load(os.path.join(out_p, f)) as zp:
+            assert set(zc.keys()) == set(zp.keys())
+            for k in ("pred_heatmaps", "embeddings", "heatmaps_refined"):
+                a, b = zc[k], zp[k]
+                assert a.shape == b.shape, (k, a.shape, b.shape)
+                denom = np.linalg.norm(a) + 1e-12
+                rel = np.linalg.norm(a - b) / denom
+                # both paths run bf16 weights; folding BN reassociates
+                assert rel < 1e-3, (k, rel)
+
+
+def test_teacher_inference_missing_model_hard_fails(cli_coco, tmp_path):
+    """Without --allow_random_init, a bad model path must NOT silently
+    produce a noise corpus (ADVICE r2, medium)."""
+    imgs = sorted(
+        os.path.join(cli_coco, "images", "val2017", f)
+        for f in os.listdir(os.path.join(cli_coco, "images", "val2017")))
+    out = str(tmp_path / "corpus")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "teacher_inference.py"),
+         "-I", imgs[0], "-o", out, "-m", "/nonexistent",
+         "--input_size", "64"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 2, (res.returncode, res.stderr[-500:])
+    assert not os.path.exists(out) or not os.listdir(out)
 
 
 def test_dataloader_demo_cli(cli_coco, tmp_path):
