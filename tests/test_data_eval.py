@@ -116,7 +116,8 @@ def test_device_render_matches_host(sigma):
 # -----------------------------------------------------------------------------
 # Synthetic COCO fixture
 # -----------------------------------------------------------------------------
-def _make_coco_fixture(root, n_imgs=2, hw=(96, 128)):
+def _make_coco_fixture(root, n_imgs=2, hw=(96, 128),
+                       jitter_per_image=False):
     import cv2
     h, w = hw
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
@@ -134,8 +135,11 @@ def _make_coco_fixture(root, n_imgs=2, hw=(96, 128)):
                        "height": h, "width": w})
         people = []
         for p in range(2):
-            cx = 30 + 60 * p
-            cy = 40 + 10 * p
+            # jitter makes each image's GT distinct, so tests that rely
+            # on per-image identity (e.g. batched-minival ordering)
+            # can't silently pass on constant predictions
+            cx = 30 + 60 * p + (6 * i if jitter_per_image else 0)
+            cy = 40 + 10 * p + (4 * i if jitter_per_image else 0)
             kps = []
             for j in range(17):
                 kps += [cx + (j % 5) * 3, cy + (j // 5) * 4, 2]

@@ -22,13 +22,15 @@ from rtpe_tpu.models import AttentionStudentSteps
 @pytest.fixture(scope="module")
 def fixture_ds(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("minival_coco"))
-    _make_coco_fixture(root, n_imgs=3, hw=(96, 128))
+    _make_coco_fixture(root, n_imgs=3, hw=(96, 128),
+                       jitter_per_image=True)
     return CocoDistillationDataset(root, "val2017",
                                    remove_images_without_annotations=False,
                                    gt_stddevs_pix=[2.0],
                                    alt_colorspace="LAB")
 
 
+@pytest.mark.slow
 def test_attention_minival_batched_equals_bs1(fixture_ds):
     from rtpe_tpu.data.preprocess import normalize_image
     from rtpe_tpu.ops.resize import resize_bilinear
@@ -59,23 +61,42 @@ def test_attention_minival_batched_equals_bs1(fixture_ds):
 class _OracleStudent:
     """Model shim emitting ideal detection heatmaps+tags at image
     resolution (the engine-isolation strategy of test_e2e_ap), so the
-    detection-minival machinery can be asserted to reach AP@.5 = 1."""
+    detection-minival machinery can be asserted to reach AP@.5 = 1.
+
+    Batch-aware AND jit-traceable: ``detection_minival`` jits the
+    forward and batches bucketed chunks with padded tails, so call
+    order no longer identifies the image and the row choice must be a
+    traced function of the input.  Each row is matched to its sample by
+    the pixel sum of its normalized image (distinct random images ->
+    distinct sums), then the ideal maps are gathered from a
+    precomputed table.
+    """
 
     def __init__(self, dataset, num_joints=17):
-        self.by_shape = {}
-        self.ds = dataset
+        from rtpe_tpu.data.preprocess import normalize_image
+
         self.num_joints = num_joints
-        self._samples = [dataset[i] for i in range(len(dataset))]
-        self._cursor = 0
+        samples = [dataset[i] for i in range(len(dataset))]
+        self._sums = np.array(
+            [float(normalize_image(s["img"]).astype(np.float32).sum())
+             for s in samples], np.float32)
+        assert len(np.unique(self._sums)) == len(samples), \
+            "fixture images must have distinct pixel sums"
+        table = []
+        for s in samples:
+            det, tag = _render_ideal(s["joints"], s["mask"].shape,
+                                     self.num_joints)
+            table.append(np.concatenate([det, tag], axis=-1))
+        self._table = np.stack(table).astype(np.float32)
 
     def apply(self, variables, img, alt, train=False):
-        s = self._samples[self._cursor]
-        self._cursor = (self._cursor + 1) % len(self._samples)
-        det, tag = _render_ideal(s["joints"], s["mask"].shape,
-                                 self.num_joints)
-        out = jnp.concatenate([jnp.asarray(det), jnp.asarray(tag)],
-                              axis=-1)[None]
-        att = jnp.zeros((1, det.shape[0] // 4, det.shape[1] // 4, 1))
+        key = jnp.sum(img.astype(jnp.float32), axis=(1, 2, 3))  # (B,)
+        idx = jnp.argmin(jnp.abs(key[:, None]
+                                 - jnp.asarray(self._sums)[None, :]),
+                         axis=1)
+        out = jnp.asarray(self._table)[idx]
+        att = jnp.zeros((img.shape[0], out.shape[1] // 4,
+                         out.shape[2] // 4, 1))
         return att, out
 
 
@@ -84,6 +105,17 @@ def test_detection_minival_reaches_ap(fixture_ds):
     stats = detection_minival(oracle, {}, {}, fixture_ds)
     assert stats["Ap .5"] == pytest.approx(1.0)
     assert stats["AP"] > 0.5
+
+
+def test_detection_minival_batched_equals_bs1(fixture_ds):
+    """Bucketed batching (VERDICT r2 weak 2) must not change the
+    result: batched chunks with padded tails == the per-image loop."""
+    oracle = _OracleStudent(fixture_ds)
+    got = detection_minival(oracle, {}, {}, fixture_ds, batch_size=2)
+    want = detection_minival(oracle, {}, {}, fixture_ds, batch_size=1)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-6), k
 
 
 def test_detection_minival_random_student_runs(fixture_ds):
