@@ -64,3 +64,65 @@ def decode_full(det: jax.Array, tag: jax.Array,
     people = jnp.where(slot_valid[:, None, None], people, 0.0)
     scores = jnp.where(slot_valid, scores, 0.0)
     return people, n_people, scores
+
+
+@partial(jax.jit, static_argnames=(
+    "max_num_people", "detection_threshold", "tag_threshold",
+    "use_detection_val", "ignore_too_much", "tag_per_joint",
+    "nms_ksize", "nms_padding", "p_max", "use_pallas"))
+def decode_full_batch(det: jax.Array, tag: jax.Array,
+                      max_num_people: int = 30,
+                      detection_threshold: float = 0.1,
+                      tag_threshold: float = 1.0,
+                      use_detection_val: bool = True,
+                      ignore_too_much: bool = False,
+                      tag_per_joint: bool = True,
+                      nms_ksize: int = 5, nms_padding: int = 2,
+                      p_max: int = 90,
+                      use_pallas: bool = False
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched single-dispatch decode: ``vmap`` of :func:`decode_full`
+    over the image dimension.
+
+    The device grouping's cost is a SEQUENTIAL-latency floor (a
+    ~30-row LAP per joint, 17 joints); under ``vmap`` every image
+    rides the same sequential schedule in lockstep vector lanes, so
+    the per-image amortized cost drops almost linearly with batch —
+    this is the decode-side analog of batching the forward.
+
+    :param det: (B, H, W, J); tag: (B, H, W, J*D or D).
+    :returns: (people (B, p_max, J, 3+D), n_people (B,), scores
+      (B, p_max)).
+    """
+    b, h, w, j = det.shape
+    # top-k is natively batched (and the Pallas kernel stays out of
+    # vmap); only the sequential group/adjust/refine tail is vmapped
+    val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
+                                nms_padding, tag_per_joint,
+                                use_pallas=use_pallas)
+
+    def tail(det_i, tag_i, val_i, loc_i, tagk_i):
+        people, n_people = match_by_tag_jit(
+            tagk_i, loc_i, val_i,
+            max_num_people=max_num_people,
+            detection_threshold=detection_threshold,
+            tag_threshold=tag_threshold,
+            use_detection_val=use_detection_val,
+            ignore_too_much=ignore_too_much,
+            p_max=p_max)
+        det0 = det_i.astype(jnp.float32)
+        tag0 = tag_i.astype(jnp.float32)
+        if tag_per_joint:
+            d = tag0.shape[-1] // j
+            tag_img = tag0.reshape(h, w, j, d)
+        else:
+            d = tag0.shape[-1]
+            tag_img = jnp.broadcast_to(tag0[:, :, None, :],
+                                       (h, w, j, d))
+        people, scores = adjust_refine_device(det0, tag_img, people)
+        slot_valid = jnp.arange(p_max) < n_people
+        people = jnp.where(slot_valid[:, None, None], people, 0.0)
+        scores = jnp.where(slot_valid, scores, 0.0)
+        return people, n_people, scores
+
+    return jax.vmap(tail)(det, tag, val_k, loc_k, tag_k)

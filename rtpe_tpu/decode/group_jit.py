@@ -30,7 +30,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .hungarian_jit import hungarian
+from .hungarian_jit import hungarian_rect
 
 # fp32 sentinel design: the Hungarian runs in fp32 on device, so the
 # sentinels must not swallow real cost differences (ulp(1e10) ≈ 1024!).
@@ -92,7 +92,10 @@ def match_by_tag_jit(tag_k: jax.Array, loc_k: jax.Array, val_k: jax.Array,
 
         col_real = jnp.arange(2 * m)[None, :] < p_cur  # (1, 2m)
         row_valid = det_valid[:, None]  # (K, 1)
-        cost = jnp.zeros((2 * m, 2 * m), jnp.float32)
+        # RECTANGULAR cost (K dets x 2m cols): the square form's dummy
+        # detection rows only absorbed unmatched columns, which
+        # hungarian_rect handles natively — half the sequential row
+        # insertions of the device LAP (the decode's latency floor).
         # tiny bias replicates munkres' tie-breaking (the rounded tag
         # distances tie frequently): lower rows get lower columns.
         # (2m - r) * c summed over an assignment is minimized when
@@ -105,15 +108,10 @@ def match_by_tag_jit(tag_k: jax.Array, loc_k: jax.Array, val_k: jax.Array,
             jnp.pad(diff_normed, ((0, 0), (0, m)), constant_values=0.0)
             + tie_bias,
             BIG)  # valid rows: real cols -> cost, dummy cols -> BIG
-        block = jnp.where(row_valid, block,
-                          jnp.where(col_real, HUGE, 0.0))
-        cost = cost.at[:k, :].set(block)
-        # dummy detection rows (k..2m-1): 0 on dummy cols, HUGE on real
-        tail = jnp.where(col_real, HUGE, 0.0)
-        cost = cost.at[k:, :].set(
-            jnp.broadcast_to(tail, (2 * m - k, 2 * m)))
+        cost = jnp.where(row_valid, block,
+                         jnp.where(col_real, HUGE, 0.0))
 
-        assign = hungarian(cost)  # (2m,) col of each row
+        assign = hungarian_rect(cost)  # (K,) col of each det row
 
         def per_row(row, st):
             people, keys, tag_sum, tag_cnt, n_people = st

@@ -147,6 +147,64 @@ def test_parse_fused_matches_host(tag_per_joint, seed):
         np.testing.assert_allclose(fp, hp, rtol=1e-4, atol=1e-4)
 
 
+def test_decode_full_batch_matches_single():
+    """The vmapped batched fused decode equals per-image decode_full
+    (same lockstep algorithm, batched lanes)."""
+    from rtpe_tpu.decode.fused import decode_full, decode_full_batch
+
+    dets, tags = [], []
+    for seed in (0, 1, 2):
+        det, tag = _make_scene(seed=seed, tag_per_joint=True)
+        dets.append(det)
+        tags.append(tag)
+    det_b = jnp.asarray(np.stack(dets))
+    tag_b = jnp.asarray(np.stack(tags))
+    people_b, n_b, scores_b = decode_full_batch(det_b, tag_b)
+    for i in range(3):
+        people_i, n_i, scores_i = decode_full(det_b[i:i + 1],
+                                              tag_b[i:i + 1])
+        assert int(n_b[i]) == int(n_i)
+        np.testing.assert_allclose(np.asarray(people_b[i]),
+                                   np.asarray(people_i),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scores_b[i]),
+                                   np.asarray(scores_i),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_rect_hungarian_matches_square_on_decode_costs():
+    """hungarian_rect on the (K, 2m) detection block equals the square
+    60x60 form (dummy rows only absorbed unmatched columns)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from rtpe_tpu.decode.hungarian_jit import hungarian_rect
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        k, m = 30, 30
+        p_cur = rng.randint(0, m + 1)
+        n_valid = rng.randint(0, k + 1)
+        valid = np.zeros(k, bool)
+        valid[rng.permutation(k)[:n_valid]] = True
+        # decode-shaped costs: quantized distances minus val on real
+        # cols; BIG on dummy cols for valid rows; HUGE/0 for invalid
+        cost = np.zeros((k, 2 * m), np.float32)
+        real = np.arange(2 * m) < p_cur
+        base = (rng.randint(0, 11, (k, 2 * m)) * 100.0
+                - rng.rand(k, 2 * m)).astype(np.float32)
+        cost[:, :] = np.where(real[None, :],
+                              np.minimum(base, 1000.0), 2048.0)
+        cost[~valid] = np.where(real[None, :], 4096.0, 0.0)[0]
+        got = np.asarray(hungarian_rect(jnp.asarray(cost)))
+        # scipy rectangular LAP = ground truth for total cost
+        rows, cols = linear_sum_assignment(cost)
+        want_total = cost[rows, cols].sum()
+        got_total = cost[np.arange(k), got].sum()
+        assert len(set(got.tolist())) == k  # distinct columns
+        np.testing.assert_allclose(got_total, want_total, rtol=1e-6,
+                                   err_msg=f"trial {trial}")
+
+
 def test_jit_hungarian_optimal_vs_scipy():
     from scipy.optimize import linear_sum_assignment
 
