@@ -38,6 +38,27 @@ Layout::
 __version__ = "0.1.0"
 
 
+def _apply_platform_override():
+    """Honor ``RTPE_PLATFORM`` (e.g. ``cpu``) via the config API.
+
+    Subprocess drives (CLI tests) cannot force the platform with the
+    ``JAX_PLATFORMS`` env var alone: this environment's sitecustomize
+    imports jax at interpreter startup with the TPU platform pinned,
+    after which only ``jax.config.update("jax_platforms", ...)``
+    takes effect."""
+    import os
+    plat = os.environ.get("RTPE_PLATFORM")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+_apply_platform_override()
+
+
 def _enable_persistent_compilation_cache():
     """First compiles cost 30-180 s; cache executables on disk so every
     process after the first pays ~nothing for known shapes.
