@@ -66,6 +66,7 @@ _FILE = os.path.abspath(__file__)
 SECTION_TIMEOUT = {
     "headline": 420,
     "int8": 420,
+    "int8act": 420,
     "train": 460,
     "decode": 600,
     "canonical": 360,
@@ -242,6 +243,46 @@ def section_int8():
     # %-of-peak vs the int8 MXU peak (394 TOPS on v5e); flops as XLA
     # cost analysis counts them on the s8xs8->s32 graph
     out.update(_efficiency_extras(img_s, cost, "int8",
+                                  peak_tflops=PEAK_TOPS_INT8))
+    return out
+
+
+def section_int8act():
+    """int8 weights + int8 ACTIVATION STORAGE (consumer-scale static
+    quantization of every inter-layer tensor): the remaining 2x HBM
+    lever on the memory-bound serving path (VERDICT r2 item 4)."""
+    import jax
+
+    from rtpe_tpu.models import (
+        calibrate_act_scales, pack_w48_params, packed_forward,
+        quantize_packed)
+
+    cfg, model, variables = _teacher_setup()
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    scales_path = os.path.join(os.path.dirname(_FILE), "experiments",
+                               "bench_act_scales.json")
+    scales = None
+    if os.path.exists(scales_path):
+        with open(scales_path) as f:
+            scales = json.load(f)
+        if set(scales) != set(pk):
+            scales = None
+    if scales is None:
+        scales = calibrate_act_scales(
+            pk, [jax.random.normal(jax.random.PRNGKey(9),
+                                   (1, 320, 320, 3))], cfg)
+        with open(scales_path, "w") as f:
+            json.dump(scales, f)
+    pkq = jax.jit(lambda p: quantize_packed(p, scales))(pk)
+    bs = 128
+    log(f"int8+int8_act packed forward bs={bs}:")
+    cost = {}
+    img_s = _scan_throughput(
+        lambda a, x: packed_forward(a, x, cfg, int8_act=True), pkq,
+        bs, 640, cost_out=cost)
+    log(f"  {img_s:.1f} img/s")
+    out = {f"int8act_forward_img_s_bs{bs}": round(img_s, 1)}
+    out.update(_efficiency_extras(img_s, cost, "int8act",
                                   peak_tflops=PEAK_TOPS_INT8))
     return out
 
@@ -462,6 +503,7 @@ def section_canonical():
 SECTIONS = {
     "headline": section_headline,
     "int8": section_int8,
+    "int8act": section_int8act,
     "train": section_train,
     "decode": section_decode,
     "canonical": section_canonical,
@@ -550,7 +592,7 @@ def main():
     # extras in value order: the train step is a driver-tracked metric
     # (VERDICT r1 item 4), so it runs before the int8 showcase when the
     # compile service is slow enough that the budget cuts the tail
-    for name in ("train", "int8", "decode", "canonical"):
+    for name in ("train", "int8act", "int8", "decode", "canonical"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue

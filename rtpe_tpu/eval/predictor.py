@@ -49,7 +49,9 @@ class PosePredictor:
                  scales: Sequence[float] = (1.0,),
                  packed: bool = False,
                  int8: bool = False,
+                 int8_act: bool = False,
                  calibration_images: Optional[Sequence] = None,
+                 allow_synthetic_calibration: bool = False,
                  mesh=None):
         """``packed=True`` serves the W48 teacher through the row-packed
         fast path (``models/hrnet_packed.py``): BN folded into bf16
@@ -61,9 +63,17 @@ class PosePredictor:
         432.7 vs 334.3 img/s at bs128 @640).  Pass
         ``calibration_images`` — an iterable of RGB images in any of
         the ranges :meth:`predict` accepts (uint8, 0-255 float, or
-        0-1 float) — for activation-range calibration; without them a
-        synthetic normalized batch is used (works, but calibrate on
-        real data before trusting accuracy-sensitive output).
+        0-1 float) — for activation-range calibration.  Without them,
+        int8 REQUIRES ``allow_synthetic_calibration=True``: a random
+        normalized batch produces working but unvalidated scales, and
+        silently serving with them is exactly the failure mode the
+        gate exists to prevent.
+
+        ``int8_act=True`` (requires ``int8``) additionally stores the
+        inter-layer activations as int8 (consumer-scale static
+        quantization) — the remaining 2x HBM lever on the
+        memory-bound serving path; slightly coarser numerics than
+        plain int8 (see ``tests/test_rowpack.py``).
 
         ``mesh`` — a ``jax.sharding.Mesh`` with a ``data`` axis: batch
         calls (:meth:`predict_batch`) shard the image batch over it
@@ -78,6 +88,15 @@ class PosePredictor:
         self.scales = tuple(scales)
         if int8 and not packed:
             raise ValueError("int8=True requires packed=True")
+        if int8_act and not int8:
+            raise ValueError("int8_act=True requires int8=True")
+        if int8 and calibration_images is None \
+                and not allow_synthetic_calibration:
+            raise ValueError(
+                "int8=True without calibration_images uses synthetic "
+                "random-batch activation scales — unvalidated numerics."
+                " Pass real calibration_images, or opt in explicitly "
+                "with allow_synthetic_calibration=True")
         if packed:
             from ..models.hrnet_packed import (
                 calibrate_act_scales, pack_w48_params, packed_forward,
@@ -103,7 +122,9 @@ class PosePredictor:
                 # one jitted program (per-layer dispatches are slow on
                 # remote backends)
                 pk = jax.jit(lambda p: quantize_packed(p, scales_d))(pk)
-            self._fwd = jax.jit(lambda x: packed_forward(pk, x, cfg))
+            self._fwd = jax.jit(
+                lambda x: packed_forward(pk, x, cfg,
+                                         int8_act=int8_act))
         else:
             self._fwd = jax.jit(
                 lambda x: model.apply(variables, x, train=False))

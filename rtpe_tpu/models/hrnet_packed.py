@@ -43,12 +43,17 @@ def _check_cfg(cfg: HRNetConfig) -> None:
 
 
 def pack_w48_params(variables, cfg: HRNetConfig = None,
-                    dtype: Dtype = jnp.bfloat16) -> PackedParams:
+                    dtype: Dtype = jnp.bfloat16,
+                    pack: bool = True) -> PackedParams:
     """Fold BN and pack weights of the canonical variable tree.
 
     :param variables: ``{"params": ..., "batch_stats": ...}`` of
         :class:`~rtpe_tpu.models.PoseHigherHRNet` (init or imported).
     :param dtype: weight dtype of the hot path (biases stay fp32).
+    :param pack: apply the row-pack layout transforms.  ``False``
+        returns the BN-folded weights in their DENSE canonical layout
+        (same key names) — the form the spatially-sharded forward
+        (``parallel/spatial.py``) consumes.
     :returns: flat dict ``name -> (kernel, bias)``.
     """
     cfg = cfg or w48_config()
@@ -62,9 +67,9 @@ def pack_w48_params(variables, cfg: HRNetConfig = None,
                           bnp["bias"], bns["mean"], bns["var"])
 
     def put(key, w, b, transform=None, tile_bias=False):
-        if transform is not None:
+        if transform is not None and pack:
             w = transform(w)
-        if tile_bias:
+        if tile_bias and pack:
             b = rp.tile_packed(b)
         out[key] = (w.astype(dtype), b.astype(jnp.float32))
 
@@ -161,6 +166,13 @@ def pack_w48_params(variables, cfg: HRNetConfig = None,
     put("final_1", p["final_1"]["kernel"], p["final_1"]["bias"],
         transform=rp.pack11_pp, tile_bias=True)
     return out
+
+
+def fold_w48_params(variables, cfg: HRNetConfig = None,
+                    dtype: Dtype = jnp.float32) -> PackedParams:
+    """BN-folded weights in the DENSE canonical layout (no packing):
+    the parameter form of the spatially-sharded forward."""
+    return pack_w48_params(variables, cfg, dtype=dtype, pack=False)
 
 
 # ------------------------------------------------------------- int8 path
@@ -325,19 +337,75 @@ def _conv_pp(x, wb, **kw):
     return _apply("pp", x, wb, **kw)
 
 
-def _basic_block(pk, name, x, dtype, packed):
-    # all adds in the model dtype: the bf16 analog of the reference's
-    # full-fp16 residual/fuse arithmetic (fp16util network_to_half)
+# ---- int8 activation storage (VERDICT r2 item 4).
+#
+# With int8_act on, every materialized inter-layer tensor is stored as
+# int8 quantized with its CONSUMER conv's static activation scale
+# (consumers of the same tensor calibrate identical scales — they
+# observe the same values — so one canonical consumer name suffices).
+# qconv consumes the int8 directly; residual/fuse adds dequantize on
+# the fly (fused elementwise, no extra materialization).  The packed
+# path is HBM-bound, so halving the stored activation bytes (bf16 ->
+# int8) is the remaining 2x bandwidth lever.
+
+
+def _store(pk, y, consumer, dtype, ia):
+    """Materialize an activation: int8 (consumer's static scale) when
+    int8-act storage is on and the consumer conv is quantized; else the
+    model dtype."""
+    if ia and consumer is not None:
+        from ..ops import quant as qt
+        wb = pk.get(consumer)
+        if isinstance(wb, qt.QConv):
+            return qt.quantize_act(y, wb.inv_sx)
+    return y.astype(dtype)
+
+
+def _loadf(pk, x, consumer):
+    """f32 view of a stored activation for residual/fuse arithmetic."""
+    if x.dtype == jnp.int8:
+        return x.astype(jnp.float32) / pk[consumer].inv_sx
+    return x
+
+
+def _basic_block(pk, name, x, dtype, packed, ia=False,
+                 out_consumer=None):
+    # bf16 path: all adds in the model dtype — the bf16 analog of the
+    # reference's full-fp16 residual/fuse arithmetic (fp16util
+    # network_to_half).  int8-act path: adds in f32 (they fuse into
+    # the conv epilogue; only the int8 result materializes).
     cv = _conv_pp if packed else _conv
-    out = jax.nn.relu(cv(x, pk[f"{name}/conv1"])).astype(dtype)
-    out = cv(out, pk[f"{name}/conv2"]).astype(dtype)
+    out = jax.nn.relu(cv(x, pk[f"{name}/conv1"]))
+    out = _store(pk, out, f"{name}/conv2", dtype, ia)
+    out = cv(out, pk[f"{name}/conv2"])
+    if ia:
+        # adds in the model dtype, like the bf16 path: any operand XLA
+        # chooses to materialize between the conv and the quantized
+        # store then costs bf16 bytes, not f32 (measured: f32 adds
+        # here kept GB/img at 0.97 instead of ~0.75)
+        res = _loadf(pk, x, f"{name}/conv1").astype(dtype)
+        return _store(pk, jax.nn.relu(out.astype(dtype) + res),
+                      out_consumer, dtype, ia)
+    out = out.astype(dtype)
     return jax.nn.relu(out + x)
 
 
-def _bottleneck(pk, name, x, dtype):
-    out = jax.nn.relu(_conv(x, pk[f"{name}/conv1"])).astype(dtype)
-    out = jax.nn.relu(_conv(out, pk[f"{name}/conv2"])).astype(dtype)
-    out = _conv(out, pk[f"{name}/conv3"]).astype(dtype)
+def _bottleneck(pk, name, x, dtype, ia=False, out_consumer=None):
+    out = jax.nn.relu(_conv(x, pk[f"{name}/conv1"]))
+    out = _store(pk, out, f"{name}/conv2", dtype, ia)
+    out = jax.nn.relu(_conv(out, pk[f"{name}/conv2"]))
+    out = _store(pk, out, f"{name}/conv3", dtype, ia)
+    out = _conv(out, pk[f"{name}/conv3"])
+    if ia:
+        if f"{name}/downsample" in pk:
+            # int8 x feeds the downsample qconv directly: its own
+            # calibrated scale equals conv1's (same input tensor)
+            residual = _conv(x, pk[f"{name}/downsample"]).astype(dtype)
+        else:
+            residual = _loadf(pk, x, f"{name}/conv1").astype(dtype)
+        return _store(pk, jax.nn.relu(out.astype(dtype) + residual),
+                      out_consumer, dtype, ia)
+    out = out.astype(dtype)
     if f"{name}/downsample" in pk:
         residual = _conv(x, pk[f"{name}/downsample"]).astype(dtype)
     else:
@@ -345,7 +413,20 @@ def _bottleneck(pk, name, x, dtype):
     return jax.nn.relu(out + residual)
 
 
-def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False):
+def _ys_consumer(pfx, scfg, j, mso):
+    """Canonical conv consumer of branch ``j``'s chain output inside a
+    module (for int8-act storage).  Branch j>0 always feeds the
+    branch-0 upsample fuse; branch 0 feeds the first downsample chain
+    only when multiple outputs exist."""
+    if j > 0:
+        return f"{pfx}/fuse0_{j}"
+    if mso and scfg.num_branches > 1:
+        return f"{pfx}/fuse1_0_0"
+    return None
+
+
+def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False,
+            ia=False, out_consumers=None):
     nb = scfg.num_branches
     ys: List[jax.Array] = []
     for i in range(nb):
@@ -366,8 +447,11 @@ def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False):
             x = basicblock_chain(x, w, bias)
         else:
             for j in range(scfg.num_blocks[i]):
+                last = j == scfg.num_blocks[i] - 1
+                oc = (_ys_consumer(pfx, scfg, i, mso) if last
+                      else f"{pfx}/branch{i}_{j + 1}/conv1")
                 x = _basic_block(pk, f"{pfx}/branch{i}_{j}", x, dtype,
-                                 packed=i == 0)
+                                 packed=i == 0, ia=ia, out_consumer=oc)
         ys.append(x)
     if nb == 1:
         return ys
@@ -377,7 +461,10 @@ def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False):
         acc = None
         for j in range(nb):
             if j == i:
-                y = ys[j]
+                y = (_loadf(pk, ys[j],
+                            _ys_consumer(pfx, scfg, j, mso)
+                            ).astype(dtype)
+                     if ia else ys[j])
             elif j > i:
                 # 1x1 conv + nearest upsample as one repeat-tconv kernel
                 wb = pk[f"{pfx}/fuse{i}_{j}"]
@@ -394,15 +481,22 @@ def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False):
                     y = y.astype(dtype)
                     if not last:
                         y = jax.nn.relu(y)
+                        if ia:
+                            y = _store(pk, y,
+                                       f"{pfx}/fuse{i}_{j}_{k + 1}",
+                                       dtype, ia)
             acc = y if acc is None else acc + y
-        fused.append(jax.nn.relu(acc))
+        out_c = out_consumers[i] if (ia and out_consumers) else None
+        fused.append(_store(pk, jax.nn.relu(acc), out_c, dtype, ia)
+                     if ia else jax.nn.relu(acc))
     return fused
 
 
 def packed_forward(pk: PackedParams, x: jax.Array,
                    cfg: HRNetConfig = None,
                    dtype: Dtype = jnp.bfloat16,
-                   pallas_chains: bool = False
+                   pallas_chains: bool = False,
+                   int8_act: bool = False
                    ) -> Tuple[jax.Array, jax.Array]:
     """Inference forward, same outputs as the canonical model's
     ``apply(variables, x, train=False)``: ``(coarse, refined)``.
@@ -415,47 +509,89 @@ def packed_forward(pk: PackedParams, x: jax.Array,
     the small branches efficient in context and the kernel boundary
     blocks fuse-layer fusion (f32 materializations appear around it).
     Kept as an option for future shapes where per-op dispatch dominates.
+
+    ``int8_act`` (requires ``pk`` from :func:`quantize_packed`) stores
+    every inter-layer activation as int8 with its consumer's static
+    scale — halving HBM traffic again on a memory-bound path.  The
+    bf16/plain-int8 paths are unchanged when off.
     """
     cfg = cfg or w48_config()
     _check_cfg(cfg)
+    assert not (int8_act and pallas_chains), \
+        "int8_act is incompatible with pallas_chains (bf16-only kernel)"
+    ia = bool(int8_act)
     x = x.astype(dtype)
 
     # stem
-    x = jax.nn.relu(_conv(x, pk["conv1"], stride=2)).astype(dtype)
-    x = jax.nn.relu(_conv(x, pk["conv2"], stride=2)).astype(dtype)
+    x = jax.nn.relu(_conv(x, pk["conv1"], stride=2))
+    x = _store(pk, x, "conv2", dtype, ia)
+    x = jax.nn.relu(_conv(x, pk["conv2"], stride=2))
+    x = _store(pk, x, "layer1_0/conv1", dtype, ia)
     for i in range(4):
-        x = _bottleneck(pk, f"layer1_{i}", x, dtype)
+        oc = f"layer1_{i + 1}/conv1" if i < 3 else "transition1_0"
+        x = _bottleneck(pk, f"layer1_{i}", x, dtype, ia=ia,
+                        out_consumer=oc)
 
     # transition 1: branch0 enters the packed-rows domain
-    x0 = jax.nn.relu(
-        _apply("up", x, pk["transition1_0"])).astype(dtype)
-    x1 = jax.nn.relu(_conv(x, pk["transition1_1_0"], stride=2)
-                     ).astype(dtype)
+    x0 = _store(pk, jax.nn.relu(_apply("up", x, pk["transition1_0"])),
+                "stage2_0/branch0_0/conv1", dtype, ia)
+    x1 = _store(pk,
+                jax.nn.relu(_conv(x, pk["transition1_1_0"], stride=2)),
+                "stage2_0/branch1_0/conv1", dtype, ia)
     xs = [x0, x1]
+
+    def stage_consumers(next_pfx, n_out):
+        return [f"{next_pfx}/branch{i}_0/conv1" for i in range(n_out)]
+
     for m in range(cfg.stage2.num_modules):
+        last = m == cfg.stage2.num_modules - 1
+        ocs = stage_consumers("stage3_0" if last else f"stage2_{m + 1}",
+                              cfg.stage2.num_branches)
         xs = _module(pk, f"stage2_{m}", cfg.stage2, xs, True, dtype,
-                     pallas_chains)
+                     pallas_chains, ia=ia, out_consumers=ocs)
 
-    xs.append(jax.nn.relu(_conv(xs[-1], pk["transition2_2_0"], stride=2)
-                          ).astype(dtype))
+    xs.append(_store(
+        pk,
+        jax.nn.relu(_conv(xs[-1], pk["transition2_2_0"], stride=2)),
+        "stage3_0/branch2_0/conv1", dtype, ia))
     for m in range(cfg.stage3.num_modules):
+        last = m == cfg.stage3.num_modules - 1
+        ocs = stage_consumers("stage4_0" if last else f"stage3_{m + 1}",
+                              cfg.stage3.num_branches)
         xs = _module(pk, f"stage3_{m}", cfg.stage3, xs, True, dtype,
-                     pallas_chains)
+                     pallas_chains, ia=ia, out_consumers=ocs)
 
-    xs.append(jax.nn.relu(_conv(xs[-1], pk["transition3_3_0"], stride=2)
-                          ).astype(dtype))
+    xs.append(_store(
+        pk,
+        jax.nn.relu(_conv(xs[-1], pk["transition3_3_0"], stride=2)),
+        "stage4_0/branch3_0/conv1", dtype, ia))
     for m in range(cfg.stage4.num_modules):
         mso = m < cfg.stage4.num_modules - 1
+        ocs = (stage_consumers(f"stage4_{m + 1}",
+                               cfg.stage4.num_branches) if mso
+               else ["final_0"])
         xs = _module(pk, f"stage4_{m}", cfg.stage4, xs, mso, dtype,
-                     pallas_chains)
+                     pallas_chains, ia=ia, out_consumers=ocs)
 
     # heads (all packed; unpack only the outputs)
     x0 = xs[0]
     y0 = _conv_pp(x0, pk["final_0"]).astype(dtype)
-    xh = jnp.concatenate([x0, y0], axis=-1)
-    xh = jax.nn.relu(_apply("tconv", xh, pk["deconv0_tconv"])
-                     ).astype(dtype)
+    if ia:
+        # one fused elementwise op: dequant x0, widen y0, concat,
+        # requant with the deconv's own calibrated (concat) scale
+        from ..ops import quant as qt
+        cat = jnp.concatenate([_loadf(pk, x0, "final_0"),
+                               y0.astype(jnp.float32)], axis=-1)
+        xh = qt.quantize_act(cat, pk["deconv0_tconv"].inv_sx)
+    else:
+        xh = jnp.concatenate([x0, y0], axis=-1)
+    xh = _store(pk, jax.nn.relu(_apply("tconv", xh,
+                                       pk["deconv0_tconv"])),
+                "deconv0_block0/conv1", dtype, ia)
     for b_ in range(cfg.deconv_num_blocks):
-        xh = _basic_block(pk, f"deconv0_block{b_}", xh, dtype, packed=True)
+        oc = (f"deconv0_block{b_ + 1}/conv1"
+              if b_ < cfg.deconv_num_blocks - 1 else "final_1")
+        xh = _basic_block(pk, f"deconv0_block{b_}", xh, dtype,
+                          packed=True, ia=ia, out_consumer=oc)
     y1 = _conv_pp(xh, pk["final_1"]).astype(dtype)
     return rp.d2s_rows(y0), rp.d2s_rows(y1)

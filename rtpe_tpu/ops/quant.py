@@ -59,8 +59,13 @@ def quantize_act(x: jax.Array, inv_sx: jax.Array) -> jax.Array:
 def qconv(x: jax.Array, q: QConv, strides, padding,
           lhs_dilation=None, flip: bool = False) -> jax.Array:
     """int8 conv + dequant + bias: same contract as the bf16 helpers in
-    ``ops/rowpack.py`` (f32 result, caller applies activation/cast)."""
-    xq = quantize_act(x, q.inv_sx)
+    ``ops/rowpack.py`` (f32 result, caller applies activation/cast).
+
+    An already-int8 input is consumed directly: the int8-activation
+    graph (``packed_forward(int8_act=True)``) stores inter-layer
+    tensors pre-quantized with this conv's own static scale, so
+    ``alpha`` dequantizes identically."""
+    xq = x if x.dtype == jnp.int8 else quantize_act(x, q.inv_sx)
     k = jnp.flip(q.kernel, axis=(0, 1)) if flip else q.kernel
     y = jax.lax.conv_general_dilated(
         xq, k, strides, padding,
