@@ -75,6 +75,153 @@ def shard_spatial(x: jax.Array, mesh: Mesh,
         x, NamedSharding(mesh, P(None, axis_name)))
 
 
+def _local_same_conv(xl, k, b, axis_name: str, stride: int = 1):
+    """Shard-local 'same' conv on H-sharded rows (halo for kh>1).
+
+    Exact under stride 2 because every shard's global start row is even
+    (H_local is even at every resolution by the divisibility contract
+    of :func:`spatial_forward_w48`)."""
+    kh, kw = k.shape[:2]
+    halo = kh // 2
+    if halo:
+        top, bot = _exchange_halos(xl, halo, axis_name)
+        xl = jnp.concatenate([top, xl, bot], axis=1)
+    y = lax.conv_general_dilated(
+        xl, k, (stride, stride), ((0, 0), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def _local_tconv4x4s2(xl, k, b, axis_name: str):
+    """Torch ConvTranspose2d(k=4, s=2, p=1) on H-sharded rows.
+
+    One halo row per side; the valid lhs-dilated conv over the haloed
+    rows lands exactly on this shard's 2*H_local output rows (the
+    global pad-2 columns are reproduced by the zeroed outer halos)."""
+    top, bot = _exchange_halos(xl, 1, axis_name)
+    xh = jnp.concatenate([top, xl, bot], axis=1)
+    kf = jnp.flip(k, axis=(0, 1))
+    y = lax.conv_general_dilated(
+        xh, kf, (1, 1), ((0, 0), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def spatial_forward_w48(fw, x: jax.Array, mesh: Mesh,
+                        cfg=None, axis_name: str = "model"
+                        ) -> tuple:
+    """The FULL canonical W48 forward with every activation H-sharded
+    over the mesh ``axis_name`` — stem, all stages/branches, fuse
+    layers (up and strided-down), and the cat-deconv head run inside
+    ONE ``shard_map`` with ``lax.ppermute`` halo exchanges at each
+    3x3/4x4 convolution (VERDICT r2 item 8; SURVEY.md §5.7's
+    context-parallel analog, now covering 100% of the model instead of
+    the stem's ~5%).
+
+    :param fw: BN-folded DENSE weights from
+        :func:`rtpe_tpu.models.hrnet_packed.fold_w48_params`.
+    :param x: (B, H, W, 3); H must be divisible by
+        ``32 * mesh.shape[axis_name]`` (so every branch resolution
+        shards evenly with even per-shard rows).
+    :returns: ``(coarse, refined)`` — identical values to the
+        canonical ``model.apply`` (fp32 BN-fold tolerance), H-sharded.
+    """
+    from ..models.hrnet import w48_config
+
+    cfg = cfg or w48_config()
+    n = mesh.shape[axis_name]
+    assert x.shape[1] % (32 * n) == 0, (x.shape, n)
+
+    def local(xl, w):
+        def conv(v, name, stride=1, relu=False):
+            k, b = w[name]
+            y = _local_same_conv(v, k, b, axis_name, stride)
+            y = y.astype(jnp.float32)
+            return jax.nn.relu(y) if relu else y
+
+        def basic_block(v, name):
+            out = conv(v, f"{name}/conv1", relu=True)
+            out = conv(out, f"{name}/conv2")
+            return jax.nn.relu(out + v)
+
+        def bottleneck(v, name):
+            out = conv(v, f"{name}/conv1", relu=True)
+            out = conv(out, f"{name}/conv2", relu=True)
+            out = conv(out, f"{name}/conv3")
+            res = (conv(v, f"{name}/downsample")
+                   if f"{name}/downsample" in w else v)
+            return jax.nn.relu(out + res)
+
+        def module(pfx, scfg, xs, mso):
+            nb = scfg.num_branches
+            ys = []
+            for i in range(nb):
+                v = xs[i]
+                for j in range(scfg.num_blocks[i]):
+                    v = basic_block(v, f"{pfx}/branch{i}_{j}")
+                ys.append(v)
+            if nb == 1:
+                return ys
+            num_out = nb if mso else 1
+            fused = []
+            for i in range(num_out):
+                acc = None
+                for j in range(nb):
+                    if j == i:
+                        y = ys[j]
+                    elif j > i:
+                        y = conv(ys[j], f"{pfx}/fuse{i}_{j}")
+                        f = 2 ** (j - i)
+                        y = jnp.repeat(jnp.repeat(y, f, axis=1), f,
+                                       axis=2)
+                    else:
+                        y = ys[j]
+                        for k_ in range(i - j):
+                            last = k_ == i - j - 1
+                            y = conv(y, f"{pfx}/fuse{i}_{j}_{k_}",
+                                     stride=2, relu=not last)
+                    acc = y if acc is None else acc + y
+                fused.append(jax.nn.relu(acc))
+            return fused
+
+        v = conv(xl, "conv1", stride=2, relu=True)
+        v = conv(v, "conv2", stride=2, relu=True)
+        for i in range(4):
+            v = bottleneck(v, f"layer1_{i}")
+
+        x0 = conv(v, "transition1_0", relu=True)
+        x1 = conv(v, "transition1_1_0", stride=2, relu=True)
+        xs = [x0, x1]
+        for m in range(cfg.stage2.num_modules):
+            xs = module(f"stage2_{m}", cfg.stage2, xs, True)
+        xs.append(conv(xs[-1], "transition2_2_0", stride=2, relu=True))
+        for m in range(cfg.stage3.num_modules):
+            xs = module(f"stage3_{m}", cfg.stage3, xs, True)
+        xs.append(conv(xs[-1], "transition3_3_0", stride=2, relu=True))
+        for m in range(cfg.stage4.num_modules):
+            mso = m < cfg.stage4.num_modules - 1
+            xs = module(f"stage4_{m}", cfg.stage4, xs, mso)
+
+        x0 = xs[0]
+        y0 = conv(x0, "final_0")
+        cat = jnp.concatenate([x0, y0], axis=-1)
+        k, b = w["deconv0_tconv"]
+        xh = jax.nn.relu(_local_tconv4x4s2(cat, k, b, axis_name)
+                         .astype(jnp.float32))
+        for b_ in range(cfg.deconv_num_blocks):
+            xh = basic_block(xh, f"deconv0_block{b_}")
+        y1 = conv(xh, "final_1")
+        return y0, y1
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis_name), P()),
+        out_specs=(P(None, axis_name), P(None, axis_name)))
+    return fn(shard_spatial(x.astype(jnp.float32), mesh, axis_name), fw)
+
+
 def sharded_stem_apply(variables, x: jax.Array, mesh: Mesh,
                        axis_name: str = "model") -> jax.Array:
     """The W48 teacher stem (conv1-bn1-relu, conv2-bn2-relu; reference

@@ -79,3 +79,88 @@ def test_halo_conv_stride2_matches_dense():
                     stride=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def _full_forward_setup():
+    from jax.sharding import Mesh
+
+    from rtpe_tpu.models.hrnet_packed import fold_w48_params
+
+    cfg = w48_config()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    fw = fold_w48_params(v, cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("model",))
+    return cfg, model, v, fw, mesh
+
+
+@pytest.mark.slow
+def test_spatial_full_forward_matches_canonical_small():
+    """The FULL W48 forward H-sharded 4-way (every stage, fuse layer,
+    and the cat-deconv head under halo exchange) equals the canonical
+    apply (VERDICT r2 item 8)."""
+    from rtpe_tpu.parallel.spatial import spatial_forward_w48
+
+    cfg, model, v, fw, mesh = _full_forward_setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 64, 3),
+                          jnp.float32)
+    want_c, want_r = model.apply(v, x, train=False)
+    got_c, got_r = spatial_forward_w48(fw, x, mesh, cfg)
+    for want, got in ((want_c, got_c), (want_r, got_r)):
+        a = np.asarray(want, np.float32)
+        b = np.asarray(got, np.float32)
+        assert np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12) \
+            < 1e-4  # fp32 BN-fold reassociation budget
+
+
+@pytest.mark.slow
+def test_spatial_full_forward_1280px():
+    """>=1280 px input (the size class single-chip HBM cannot hold at
+    batch) through the fully sharded forward, 4-way model axis."""
+    from rtpe_tpu.parallel.spatial import spatial_forward_w48
+
+    cfg, model, v, fw, mesh = _full_forward_setup()
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 1280, 128, 3),
+                          jnp.float32)
+    want_c, want_r = model.apply(v, x, train=False)
+    got_c, got_r = spatial_forward_w48(fw, x, mesh, cfg)
+    assert got_c.shape == want_c.shape == (1, 320, 32, 34)
+    assert got_r.shape == want_r.shape == (1, 640, 64, 17)
+    for want, got in ((want_c, got_c), (want_r, got_r)):
+        a = np.asarray(want, np.float32)
+        b = np.asarray(got, np.float32)
+        assert np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12) \
+            < 1e-4
+
+
+def test_spatial_full_forward_reduced_cfg():
+    """Quick-lane coverage of the fully sharded forward: a reduced
+    HRNet (same graph family — all stages, fuse layers, cat-deconv)
+    compiles in seconds and must equal its canonical apply."""
+    from jax.sharding import Mesh
+
+    from rtpe_tpu.models.hrnet import HRNetConfig, StageCfg
+    from rtpe_tpu.models.hrnet_packed import fold_w48_params
+    from rtpe_tpu.parallel.spatial import spatial_forward_w48
+
+    small = HRNetConfig(
+        num_joints=5,
+        stage2=StageCfg(1, 2, "BASIC", (2, 2), (8, 16)),
+        stage3=StageCfg(2, 3, "BASIC", (2, 2, 2), (8, 16, 32)),
+        stage4=StageCfg(1, 4, "BASIC", (2, 2, 2, 2), (8, 16, 32, 64)),
+        deconv_chans=(8,), deconv_num_blocks=2)
+    model = PoseHigherHRNet(cfg=small, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    fw = fold_w48_params(v, small)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("model",))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 128, 64, 3),
+                          jnp.float32)
+    want_c, want_r = model.apply(v, x, train=False)
+    got_c, got_r = spatial_forward_w48(fw, x, mesh, small)
+    for want, got in ((want_c, got_c), (want_r, got_r)):
+        a = np.asarray(want, np.float32)
+        b = np.asarray(got, np.float32)
+        assert np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12) \
+            < 1e-4
