@@ -21,7 +21,7 @@ from .refine_device import adjust_refine_device
 @partial(jax.jit, static_argnames=(
     "max_num_people", "detection_threshold", "tag_threshold",
     "use_detection_val", "ignore_too_much", "tag_per_joint",
-    "nms_ksize", "nms_padding", "p_max", "use_pallas"))
+    "nms_ksize", "nms_padding", "p_max", "use_pallas", "lap"))
 def decode_full(det: jax.Array, tag: jax.Array,
                 max_num_people: int = 30,
                 detection_threshold: float = 0.1,
@@ -31,11 +31,21 @@ def decode_full(det: jax.Array, tag: jax.Array,
                 tag_per_joint: bool = True,
                 nms_ksize: int = 5, nms_padding: int = 2,
                 p_max: int = 90,
-                use_pallas: bool = False
+                use_pallas: bool = False,
+                lap: str = "auto"
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:param det: (1, H, W, J); :param tag: (1, H, W, J*D) or (1,H,W,D).
+    :param lap: grouping LAP solver — ``"auto"`` picks the Mosaic
+      kernel (:mod:`rtpe_tpu.ops.pallas_lap`) on TPU and the XLA
+      Hungarian elsewhere; explicit values are passed through to
+      :func:`~rtpe_tpu.decode.group_jit.match_by_tag_jit`.  The
+      batched decode keeps the XLA solver: under ``vmap`` the
+      sequential schedule is shared across lanes, while a vmapped
+      Pallas kernel would run one grid program per image serially.
     :returns: (people (p_max, J, 3+D), n_people int32, scores (p_max,)).
     """
+    if lap == "auto":
+        lap = "pallas" if jax.default_backend() == "tpu" else "xla"
     _, h, w, j = det.shape
     val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
                                 nms_padding, tag_per_joint,
@@ -47,7 +57,7 @@ def decode_full(det: jax.Array, tag: jax.Array,
         tag_threshold=tag_threshold,
         use_detection_val=use_detection_val,
         ignore_too_much=ignore_too_much,
-        p_max=p_max)
+        p_max=p_max, lap=lap)
 
     det0 = det[0].astype(jnp.float32)
     tag0 = tag[0].astype(jnp.float32)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .hungarian_jit import hungarian_rect
+from ..ops.pallas_lap import hungarian_rect_pallas
 
 # fp32 sentinel design: the Hungarian runs in fp32 on device, so the
 # sentinels must not swallow real cost differences (ulp(1e10) ≈ 1024!).
@@ -45,17 +46,23 @@ HUGE = jnp.float32(4096.0)   # forbidden cells
 
 @partial(jax.jit, static_argnames=("max_num_people", "detection_threshold",
                                    "tag_threshold", "use_detection_val",
-                                   "ignore_too_much", "p_max"))
+                                   "ignore_too_much", "p_max", "lap"))
 def match_by_tag_jit(tag_k: jax.Array, loc_k: jax.Array, val_k: jax.Array,
                      max_num_people: int = 30,
                      detection_threshold: float = 0.1,
                      tag_threshold: float = 1.0,
                      use_detection_val: bool = True,
                      ignore_too_much: bool = False,
-                     p_max: int = 90) -> Tuple[jax.Array, jax.Array]:
+                     p_max: int = 90,
+                     lap: str = "xla") -> Tuple[jax.Array, jax.Array]:
     """Group one image's top-k detections.
 
     :param tag_k: (J, K, D); :param loc_k: (J, K, 2); :param val_k: (J, K).
+    :param lap: LAP solver: ``"xla"`` (lax.while_loop Hungarian,
+      vmap-friendly), ``"pallas"`` (Mosaic kernel,
+      :mod:`rtpe_tpu.ops.pallas_lap` — ~1.3x lower single-image
+      latency; TPU only), or ``"pallas_interpret"`` (same kernel on
+      the Pallas interpreter, for CPU tests).
     :returns: (people (p_max, J, 3+D), n_people scalar int32); people
       rows beyond n_people are zeros.
     """
@@ -111,7 +118,12 @@ def match_by_tag_jit(tag_k: jax.Array, loc_k: jax.Array, val_k: jax.Array,
         cost = jnp.where(row_valid, block,
                          jnp.where(col_real, HUGE, 0.0))
 
-        assign = hungarian_rect(cost)  # (K,) col of each det row
+        if lap == "pallas":
+            assign = hungarian_rect_pallas(cost)
+        elif lap == "pallas_interpret":
+            assign = hungarian_rect_pallas(cost, interpret=True)
+        else:
+            assign = hungarian_rect(cost)  # (K,) col of each det row
 
         def per_row(row, st):
             people, keys, tag_sum, tag_cnt, n_people = st

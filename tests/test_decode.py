@@ -311,3 +311,50 @@ def test_parse_batch_no_refine_needed_skips_device():
     # quarter-pixel adjusted coordinates are fractional
     assert np.all(np.abs((person[:, 0] % 1) - 0.75) < 1e-6) or \
         np.all(np.abs((person[:, 0] % 1) - 0.25) < 1e-6)
+
+
+def test_pallas_lap_optimal_vs_scipy_interpret():
+    """The Mosaic LAP kernel (interpret mode on CPU) reaches scipy's
+    optimal total cost on random rectangular instances, including
+    decode-shaped sentinel costs."""
+    from scipy.optimize import linear_sum_assignment
+
+    from rtpe_tpu.ops.pallas_lap import hungarian_rect_pallas
+
+    rng = np.random.RandomState(3)
+    for trial in range(12):
+        n = rng.randint(1, 31)
+        m = rng.randint(n, 61)
+        if trial % 3 == 0:
+            # decode-shaped: quantized distances + BIG/HUGE sentinels
+            cost = (rng.randint(0, 11, (n, m)) * 100.0
+                    - rng.rand(n, m)).astype(np.float32)
+            cost[:, rng.randint(0, m):] = 2048.0
+        else:
+            cost = (rng.rand(n, m) * 10).astype(np.float32)
+        got = np.asarray(hungarian_rect_pallas(jnp.asarray(cost),
+                                               interpret=True))
+        rows, cols = linear_sum_assignment(cost)
+        assert len(set(got.tolist())) == n  # distinct columns
+        assert cost[np.arange(n), got].sum() == pytest.approx(
+            cost[rows, cols].sum(), rel=1e-5, abs=1e-3), f"trial {trial}"
+
+
+def test_decode_full_pallas_lap_matches_xla():
+    """decode_full with the Mosaic LAP (interpret mode) equals the XLA
+    solver end to end: the tie-bias makes optimal assignments unique on
+    these scenes, so people tables must agree exactly."""
+    from rtpe_tpu.decode.fused import decode_full
+
+    for seed in (0, 1):
+        det, tag = _make_scene(seed=seed, tag_per_joint=True)
+        j_det = jnp.asarray(det[None])
+        j_tag = jnp.asarray(tag[None])
+        p_x, n_x, s_x = decode_full(j_det, j_tag, lap="xla")
+        p_p, n_p, s_p = decode_full(j_det, j_tag,
+                                    lap="pallas_interpret")
+        assert int(n_x) == int(n_p)
+        np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                                   rtol=1e-5, atol=1e-5)
