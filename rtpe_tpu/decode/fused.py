@@ -79,7 +79,7 @@ def decode_full(det: jax.Array, tag: jax.Array,
 @partial(jax.jit, static_argnames=(
     "max_num_people", "detection_threshold", "tag_threshold",
     "use_detection_val", "ignore_too_much", "tag_per_joint",
-    "nms_ksize", "nms_padding", "p_max", "use_pallas"))
+    "nms_ksize", "nms_padding", "p_max", "use_pallas", "lap"))
 def decode_full_batch(det: jax.Array, tag: jax.Array,
                       max_num_people: int = 30,
                       detection_threshold: float = 0.1,
@@ -89,7 +89,8 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
                       tag_per_joint: bool = True,
                       nms_ksize: int = 5, nms_padding: int = 2,
                       p_max: int = 90,
-                      use_pallas: bool = False
+                      use_pallas: bool = False,
+                      lap: str = "auto"
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched single-dispatch decode: ``vmap`` of :func:`decode_full`
     over the image dimension.
@@ -101,9 +102,17 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
     this is the decode-side analog of batching the forward.
 
     :param det: (B, H, W, J); tag: (B, H, W, J*D or D).
+    :param lap: grouping LAP solver (see :func:`decode_full`).
+      ``"auto"`` picks the Mosaic kernel on TPU here too: although
+      ``vmap`` turns it into B sequential grid programs (vs the XLA
+      solver's lockstep lanes), each program is ~7x cheaper than the
+      vmapped while-loop schedule — measured 6.3 vs 43.4 ms/img at
+      B=8 on crowded scenes.
     :returns: (people (B, p_max, J, 3+D), n_people (B,), scores
       (B, p_max)).
     """
+    if lap == "auto":
+        lap = "pallas" if jax.default_backend() == "tpu" else "xla"
     b, h, w, j = det.shape
     # top-k is natively batched (and the Pallas kernel stays out of
     # vmap); only the sequential group/adjust/refine tail is vmapped
@@ -119,7 +128,7 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
             tag_threshold=tag_threshold,
             use_detection_val=use_detection_val,
             ignore_too_much=ignore_too_much,
-            p_max=p_max)
+            p_max=p_max, lap=lap)
         det0 = det_i.astype(jnp.float32)
         tag0 = tag_i.astype(jnp.float32)
         if tag_per_joint:
