@@ -16,6 +16,14 @@ import jax.numpy as jnp
 from .group_jit import match_by_tag_jit
 from .nms import top_k
 from .refine_device import adjust_refine_device
+from ..ops import pallas_group
+
+
+def _kernel_fits(k: int, m: int, p_max: int) -> bool:
+    """Shape envelope of the grouping mega-kernel
+    (:func:`rtpe_tpu.ops.pallas_group.match_by_tag_kernel`)."""
+    return (k <= pallas_group._ROWS and 2 * m + 1 <= pallas_group._LANES
+            and p_max <= pallas_group._PSLOTS and k <= m)
 
 
 @partial(jax.jit, static_argnames=(
@@ -35,29 +43,50 @@ def decode_full(det: jax.Array, tag: jax.Array,
                 lap: str = "auto"
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:param det: (1, H, W, J); :param tag: (1, H, W, J*D) or (1,H,W,D).
-    :param lap: grouping LAP solver — ``"auto"`` picks the Mosaic
-      kernel (:mod:`rtpe_tpu.ops.pallas_lap`) on TPU and the XLA
-      Hungarian elsewhere; explicit values are passed through to
-      :func:`~rtpe_tpu.decode.group_jit.match_by_tag_jit`.  The
-      batched decode keeps the XLA solver: under ``vmap`` the
-      sequential schedule is shared across lanes, while a vmapped
-      Pallas kernel would run one grid program per image serially.
+    :param lap: grouping solver — ``"auto"`` picks the single-launch
+      grouping mega-kernel (:mod:`rtpe_tpu.ops.pallas_group`: cost
+      build + LAP + people-table update, one ``pallas_call`` for all
+      joints) on TPU and the XLA Hungarian elsewhere.  ``"kernel"`` /
+      ``"kernel_interpret"`` force the mega-kernel (compiled /
+      interpreter); ``"pallas"`` keeps the per-joint LAP-kernel scan;
+      other values pass through to
+      :func:`~rtpe_tpu.decode.group_jit.match_by_tag_jit`.
     :returns: (people (p_max, J, 3+D), n_people int32, scores (p_max,)).
     """
     if lap == "auto":
-        lap = "pallas" if jax.default_backend() == "tpu" else "xla"
+        on_tpu = jax.default_backend() == "tpu"
+        fits = _kernel_fits(max_num_people, max_num_people, p_max)
+        lap = "kernel" if (on_tpu and fits) else \
+            ("pallas" if on_tpu else "xla")
+    if lap in ("kernel", "kernel_interpret"):
+        # the Mosaic NMS+top-k kernel and the grouping mega-kernel in
+        # one program crash this TPU backend (worker kernel fault,
+        # reproducible); the XLA top-k costs the same on real scenes,
+        # so the combination is simply never emitted
+        use_pallas = False
     _, h, w, j = det.shape
     val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
                                 nms_padding, tag_per_joint,
                                 use_pallas=use_pallas)
-    people, n_people = match_by_tag_jit(
-        tag_k[0], loc_k[0], val_k[0],
-        max_num_people=max_num_people,
-        detection_threshold=detection_threshold,
-        tag_threshold=tag_threshold,
-        use_detection_val=use_detection_val,
-        ignore_too_much=ignore_too_much,
-        p_max=p_max, lap=lap)
+    if lap in ("kernel", "kernel_interpret"):
+        people_b, n_b = pallas_group.match_by_tag_kernel(
+            tag_k, loc_k, val_k,
+            max_num_people=max_num_people,
+            detection_threshold=detection_threshold,
+            tag_threshold=tag_threshold,
+            use_detection_val=use_detection_val,
+            ignore_too_much=ignore_too_much,
+            p_max=p_max, interpret=(lap == "kernel_interpret"))
+        people, n_people = people_b[0], n_b[0]
+    else:
+        people, n_people = match_by_tag_jit(
+            tag_k[0], loc_k[0], val_k[0],
+            max_num_people=max_num_people,
+            detection_threshold=detection_threshold,
+            tag_threshold=tag_threshold,
+            use_detection_val=use_detection_val,
+            ignore_too_much=ignore_too_much,
+            p_max=p_max, lap=lap)
 
     det0 = det[0].astype(jnp.float32)
     tag0 = tag[0].astype(jnp.float32)
@@ -102,23 +131,57 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
     this is the decode-side analog of batching the forward.
 
     :param det: (B, H, W, J); tag: (B, H, W, J*D or D).
-    :param lap: grouping LAP solver (see :func:`decode_full`).
-      ``"auto"`` picks the Mosaic kernel on TPU here too: although
-      ``vmap`` turns it into B sequential grid programs (vs the XLA
-      solver's lockstep lanes), each program is ~7x cheaper than the
-      vmapped while-loop schedule — measured 6.3 vs 43.4 ms/img at
-      B=8 on crowded scenes.
+    :param lap: grouping solver (see :func:`decode_full`).  ``"auto"``
+      picks the grouping mega-kernel on TPU: the ``grid=(B, J)``
+      ``pallas_call`` groups the WHOLE batch in one launch (cost
+      build + LAP + people-table update all in VMEM), replacing the
+      ~510 small XLA ops/joint of the vmapped scan tail — measured
+      1.7 ms/img at B=8 vs 6.3 ms/img for the per-joint LAP scan.
     :returns: (people (B, p_max, J, 3+D), n_people (B,), scores
       (B, p_max)).
     """
     if lap == "auto":
-        lap = "pallas" if jax.default_backend() == "tpu" else "xla"
+        on_tpu = jax.default_backend() == "tpu"
+        fits = _kernel_fits(max_num_people, max_num_people, p_max)
+        lap = "kernel" if (on_tpu and fits) else \
+            ("pallas" if on_tpu else "xla")
+    if lap in ("kernel", "kernel_interpret"):
+        use_pallas = False  # see decode_full: combo crashes the worker
     b, h, w, j = det.shape
-    # top-k is natively batched (and the Pallas kernel stays out of
-    # vmap); only the sequential group/adjust/refine tail is vmapped
+    # top-k is natively batched (and the Pallas kernels stay out of
+    # vmap); only the adjust/refine tail is vmapped
     val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
                                 nms_padding, tag_per_joint,
                                 use_pallas=use_pallas)
+
+    if lap in ("kernel", "kernel_interpret"):
+        people_b, n_b = pallas_group.match_by_tag_kernel(
+            tag_k, loc_k, val_k,
+            max_num_people=max_num_people,
+            detection_threshold=detection_threshold,
+            tag_threshold=tag_threshold,
+            use_detection_val=use_detection_val,
+            ignore_too_much=ignore_too_much,
+            p_max=p_max, interpret=(lap == "kernel_interpret"))
+
+        def tail_k(det_i, tag_i, people, n_people):
+            det0 = det_i.astype(jnp.float32)
+            tag0 = tag_i.astype(jnp.float32)
+            if tag_per_joint:
+                d = tag0.shape[-1] // j
+                tag_img = tag0.reshape(h, w, j, d)
+            else:
+                d = tag0.shape[-1]
+                tag_img = jnp.broadcast_to(tag0[:, :, None, :],
+                                           (h, w, j, d))
+            people, scores = adjust_refine_device(det0, tag_img,
+                                                  people)
+            slot_valid = jnp.arange(p_max) < n_people
+            people = jnp.where(slot_valid[:, None, None], people, 0.0)
+            scores = jnp.where(slot_valid, scores, 0.0)
+            return people, n_people, scores
+
+        return jax.vmap(tail_k)(det, tag, people_b, n_b)
 
     def tail(det_i, tag_i, val_i, loc_i, tagk_i):
         people, n_people = match_by_tag_jit(

@@ -340,6 +340,94 @@ def test_pallas_lap_optimal_vs_scipy_interpret():
             cost[rows, cols].sum(), rel=1e-5, abs=1e-3), f"trial {trial}"
 
 
+def test_group_kernel_matches_jit_interpret():
+    """The grouping mega-kernel (one pallas_call: cost build + LAP +
+    people-table update, interpret mode on CPU) equals
+    match_by_tag_jit on random batched scenes, including the returned
+    people counts."""
+    from rtpe_tpu.decode.group_jit import match_by_tag_jit
+    from rtpe_tpu.ops.pallas_group import match_by_tag_kernel
+
+    rng = np.random.default_rng(0)
+    B, J, K, D = 2, 4, 8, 1
+    tags = (rng.normal(size=(B, J, K, D)) * 2).astype(np.float32)
+    locs = rng.uniform(0, 64, size=(B, J, K, 2)).astype(np.float32)
+    vals = rng.uniform(-0.2, 1.0, size=(B, J, K)).astype(np.float32)
+
+    p_k, n_k = match_by_tag_kernel(
+        jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+        max_num_people=K, interpret=True)
+    for b in range(B):
+        p_ref, n_ref = match_by_tag_jit(
+            jnp.asarray(tags[b]), jnp.asarray(locs[b]),
+            jnp.asarray(vals[b]), max_num_people=K)
+        assert int(n_ref) == int(n_k[b])
+        np.testing.assert_allclose(np.asarray(p_k[b]),
+                                   np.asarray(p_ref), atol=1e-5)
+
+
+def test_group_kernel_edge_cases_interpret():
+    """Mega-kernel edge semantics: an empty scene returns zero people;
+    duplicate float tag keys merge into one person (the reference's
+    dict-setdefault quirk); ignore_too_much caps new allocations at
+    max_num_people."""
+    from rtpe_tpu.decode.group_jit import match_by_tag_jit
+    from rtpe_tpu.ops.pallas_group import match_by_tag_kernel
+
+    J, K, D = 3, 4, 1
+    # empty: every val below the detection threshold
+    tags = np.zeros((1, J, K, D), np.float32)
+    locs = np.zeros((1, J, K, 2), np.float32)
+    vals = np.full((1, J, K), -1.0, np.float32)
+    p, n = match_by_tag_kernel(jnp.asarray(tags), jnp.asarray(locs),
+                               jnp.asarray(vals), max_num_people=K,
+                               interpret=True)
+    assert int(n[0]) == 0
+    assert np.all(np.asarray(p) == 0)
+
+    # duplicate keys: all joints share one exact tag value -> joints
+    # chain onto the same person slot via the float-key merge
+    rng = np.random.default_rng(1)
+    tags = np.full((1, J, K, D), 7.25, np.float32)
+    tags[0, :, 2:, 0] = rng.normal(size=(J, K - 2)) * 5 + 100
+    locs = rng.uniform(0, 32, size=(1, J, K, 2)).astype(np.float32)
+    vals = rng.uniform(0.4, 1.0, size=(1, J, K)).astype(np.float32)
+    for itm in (False, True):
+        p_k, n_k = match_by_tag_kernel(
+            jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+            max_num_people=K, ignore_too_much=itm, interpret=True)
+        p_ref, n_ref = match_by_tag_jit(
+            jnp.asarray(tags[0]), jnp.asarray(locs[0]),
+            jnp.asarray(vals[0]), max_num_people=K,
+            ignore_too_much=itm)
+        assert int(n_ref) == int(n_k[0])
+        np.testing.assert_allclose(np.asarray(p_k[0]),
+                                   np.asarray(p_ref), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_decode_full_batch_group_kernel_matches_xla():
+    """decode_full_batch with the grouping mega-kernel (interpret)
+    equals the XLA grouping end to end through adjust+refine."""
+    from rtpe_tpu.decode.fused import decode_full_batch
+
+    dets, tags = [], []
+    for seed in (0, 1):
+        det, tag = _make_scene(seed=seed, tag_per_joint=True)
+        dets.append(det)
+        tags.append(tag)
+    j_det = jnp.asarray(np.stack(dets))
+    j_tag = jnp.asarray(np.stack(tags))
+    p_x, n_x, s_x = decode_full_batch(j_det, j_tag, lap="xla")
+    p_k, n_k, s_k = decode_full_batch(j_det, j_tag,
+                                      lap="kernel_interpret")
+    np.testing.assert_array_equal(np.asarray(n_x), np.asarray(n_k))
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_x),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_decode_full_pallas_lap_matches_xla():
     """decode_full with the Mosaic LAP (interpret mode) equals the XLA
     solver end to end: the tie-bias makes optimal assignments unique on
