@@ -49,10 +49,20 @@ BIG = 2048.0
 HUGE = 4096.0
 
 
-def _lap_on_scratch(cost_ref, lane, n: int, m: int):
+def _lap_on_scratch(cost_ref, lane, n, m: int):
     """The successive-shortest-path LAP of ``ops/pallas_lap.py``,
-    reading cost rows from a VMEM scratch ref.  Returns p (1, 128):
-    ``p[l]`` = 1-indexed row assigned to cost column ``l - 1``."""
+    reading cost rows from a VMEM scratch ref.  ``n`` may be a traced
+    row count (the row loop then lowers to a dynamic-trip while loop).
+    Returns p (1, 128): ``p[l]`` = 1-indexed row assigned to cost
+    column ``l - 1``.
+
+    Arithmetic is identical to the original formulation; the only
+    rewrites are latency ones: ``p[j0]`` / ``u[j0]`` are carried as
+    scalars across Dijkstra iterations (they are read back at the
+    freshly selected ``j1``, whose lane the in-iteration updates never
+    touch), and the two lane-extracts share one stacked reduce — the
+    cross-lane reductions per iteration drop from six to three.
+    """
     valid_col = (lane >= 1) & (lane <= m)
 
     v0 = jnp.zeros((1, _LANES), jnp.float32)
@@ -62,8 +72,12 @@ def _lap_on_scratch(cost_ref, lane, n: int, m: int):
     def read_lane_i(vec, j):
         return jnp.sum(jnp.where(lane == j, vec, 0))
 
-    def read_lane_f(vec, j):
-        return jnp.sum(jnp.where(lane == j, vec, 0.0))
+    def read_lane2(u_col, p, j):
+        """u_col[j] and p[j] in one stacked (2, 128) reduce; p values
+        are row indices <= _ROWS, exact in f32."""
+        both = jnp.concatenate([u_col, p.astype(jnp.float32)], axis=0)
+        got = jnp.sum(jnp.where(lane == j, both, 0.0), axis=1)
+        return got[0], got[1].astype(jnp.int32)
 
     def add_row(i, carry):
         v, u_col, p = carry
@@ -74,17 +88,15 @@ def _lap_on_scratch(cost_ref, lane, n: int, m: int):
         used = jnp.zeros((1, _LANES), jnp.int32)
 
         def cond(c):
-            v, u_col, p, minv, way, used, j0 = c
-            return read_lane_i(p, j0) != 0
+            v, u_col, p, minv, way, used, j0, pj0, uj0 = c
+            return pj0 != 0
 
         def body(c):
-            v, u_col, p, minv, way, used, j0 = c
+            v, u_col, p, minv, way, used, j0, pj0, uj0 = c
             used = jnp.where(lane == j0, 1, used)
             used_b = used > 0
-            i0 = read_lane_i(p, j0)
-            ui0 = read_lane_f(u_col, j0)
-            crow = cost_ref[pl.ds(i0 - 1, 1), :]
-            cur = jnp.where(valid_col & (~used_b), crow - ui0 - v,
+            crow = cost_ref[pl.ds(pj0 - 1, 1), :]
+            cur = jnp.where(valid_col & (~used_b), crow - uj0 - v,
                             _INF)
             better = cur < minv
             minv = jnp.where(better, cur, minv)
@@ -95,10 +107,13 @@ def _lap_on_scratch(cost_ref, lane, n: int, m: int):
             u_col = jnp.where(used_b, u_col + delta, u_col)
             v = jnp.where(used_b, v - delta, v)
             minv = jnp.where(used_b, minv, minv - delta)
-            return v, u_col, p, minv, way, used, j1
+            # j1 is not in `used`, so u_col[j1] was untouched above
+            uj1, pj1 = read_lane2(u_col, p, j1)
+            return v, u_col, p, minv, way, used, j1, pj1, uj1
 
-        v, u_col, p, minv, way, used, j0 = jax.lax.while_loop(
-            cond, body, (v, u_col, p, minv, way, used, jnp.int32(0)))
+        v, u_col, p, minv, way, used, j0, _, _ = jax.lax.while_loop(
+            cond, body, (v, u_col, p, minv, way, used, jnp.int32(0),
+                         i, jnp.float32(0.0)))
 
         def aug_cond(c):
             p, u_col, j0 = c
@@ -107,8 +122,7 @@ def _lap_on_scratch(cost_ref, lane, n: int, m: int):
         def aug_body(c):
             p, u_col, j0 = c
             j1 = read_lane_i(way, j0)
-            pj1 = read_lane_i(p, j1)
-            uj1 = read_lane_f(u_col, j1)
+            uj1, pj1 = read_lane2(u_col, p, j1)
             p = jnp.where(lane == j0, pj1, p)
             u_col = jnp.where(lane == j0, uj1, u_col)
             return p, u_col, j1
@@ -179,7 +193,19 @@ def _group_step(tags, locs, vals,
     cost = jnp.where(col_alive & (row2 < k), cost, _INF)
     cost_scr[:] = cost
 
-    p = _lap_on_scratch(cost_scr, lane, n=k, m=2 * m)
+    # Row-insert only up to the LAST above-threshold detection (with
+    # val-sorted top-k input that is exactly the valid count).  The
+    # reference masks sub-threshold detections out of munkres entirely
+    # (group.py:41-43); the trailing rows skipped here could only ever
+    # rewire dummy columns among themselves (their real-person entries
+    # sit >= HUGE - accumulated duals above any 0-reduced-cost free
+    # dummy, in f32 too), so the real matching is unchanged.  When no
+    # people exist yet (or ignore_too_much saturates), the assignment
+    # is irrelevant — every active row becomes a new person — and the
+    # LAP is skipped outright.
+    n_valid = jnp.max(jnp.where(det_valid, row2 + 1, 0))
+    n_rows = jnp.where((p_cur == 0) | skip_all, 0, n_valid)
+    p = _lap_on_scratch(cost_scr, lane, n=n_rows, m=2 * m)
 
     # col of each detection row (every row 0..k-1 is assigned: k <= m)
     rowmatch = (p == row2 + 1) & (lane2 >= 1) & (lane2 <= 2 * m)
