@@ -203,8 +203,10 @@ def test_compile_watchdog_pokes_on_stall(tmp_path):
             f"open({str(marker)!r}, 'w').write('x')"]
     with compile_watchdog(interval=0.3, max_pokes=2,
                           poke_argv=poke) as wd:
-        time.sleep(1.2)  # simulate a stalled first compile
-    deadline = time.time() + 5
+        time.sleep(2.0)  # simulate a stalled first compile
+    # generous deadline: the poke is a subprocess spawn, which can lag
+    # many seconds on a loaded CI box
+    deadline = time.time() + 30
     while not marker.exists() and time.time() < deadline:
         time.sleep(0.1)
     assert marker.exists()

@@ -162,6 +162,7 @@ def _make_cached_pipe(root, cache_dir, num_workers=1, seed=0):
                          seed=seed, cache_dir=cache_dir)
 
 
+@pytest.mark.slow
 def test_canvas_cache_matches_jpeg_path(synthetic_coco, tmp_path):
     """Cached host batches are byte-identical to the JPEG path (compact
     mode: both store uint8 canvases + f16 teacher maps)."""

@@ -134,8 +134,9 @@ def test_spatial_full_forward_1280px():
             < 1e-4
 
 
+@pytest.mark.slow
 def test_spatial_full_forward_reduced_cfg():
-    """Quick-lane coverage of the fully sharded forward: a reduced
+    """Sharded-forward coverage (slow: ~3-min XLA compile): a reduced
     HRNet (same graph family — all stages, fuse layers, cat-deconv)
     compiles in seconds and must equal its canonical apply."""
     from jax.sharding import Mesh
