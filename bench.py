@@ -47,6 +47,10 @@ import time
 # never returns (measured).  The bench must never wedge the driver, so
 # it opts out of the cache before rtpe_tpu configures it.
 os.environ.setdefault("RTPE_NO_XLA_CACHE", "1")
+# the bench measures each lap rung explicitly (and falls back through
+# the ladder on wedges); the production auto->kernel parity self-check
+# would only add two compiles inside the timed sections' deadline
+os.environ.setdefault("RTPE_LAP_SELFCHECK", "0")
 
 import numpy as np
 
@@ -68,9 +72,60 @@ SECTION_TIMEOUT = {
     "int8": 420,
     "int8act": 420,
     "train": 460,
-    "decode": 600,
+    "decode_fused1": 420,
+    "decode_fused32": 420,
+    "decode_host": 300,
     "canonical": 360,
 }
+
+# Where the running section flushes each metric as it lands (set in
+# --section mode).  A section that wedges mid-way thus still delivers
+# every metric measured before the wedge — VERDICT r3 item 1(b): one
+# wedged compile must cost ONE metric, not all of a section's.
+_OUT_PATH = None
+_PARTIAL = {}
+
+
+def flush_metric(d):
+    """Record ``d`` into the section result and flush it to --out."""
+    _PARTIAL.update(d)
+    if _OUT_PATH is not None:
+        tmp = _OUT_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_PARTIAL, f)
+        os.replace(tmp, _OUT_PATH)
+
+
+class _CompileTimeout(Exception):
+    pass
+
+
+class compile_deadline:
+    """SIGALRM-bounded region for a possibly-wedging remote compile.
+
+    The tunneled compile service blocks on an RPC (GIL released), so
+    the alarm fires even mid-wedge; raising converts a >600 s process
+    kill into an in-process fallback to the next rung of the lap
+    ladder (VERDICT r3 item 1(c))."""
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            raise _CompileTimeout(f"compile exceeded {self.seconds}s")
+
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
 
 
 # chip peaks (TPU v5 lite) for the driver-captured efficiency extras
@@ -356,25 +411,154 @@ def section_train():
     return out
 
 
-def section_decode():
-    """Production parse_batch: top-k+adjust dispatch, fast host
-    grouping, filtered batched device refine.  The tunnel here has a
-    ~30 ms fixed round trip per dispatch, which floors any single-image
-    blocking latency; the batched amortized number is the honest
-    per-image decode cost."""
-    import jax.numpy as jnp
+def _bench_lap_ladder():
+    """Lap-solver rungs for the fused-decode sections.
 
-    from rtpe_tpu.decode import HeatmapParser
+    ``RTPE_BENCH_LAP`` (set by the parent's retry) pins one rung; the
+    default ladder is mega-kernel ("auto" resolves to it on TPU), then
+    per-joint Pallas LAP, then pure XLA — each rung's compile bounded
+    by :class:`compile_deadline` so a Mosaic wedge degrades the number
+    instead of erasing it (VERDICT r3 item 1(c))."""
+    forced = os.environ.get("RTPE_BENCH_LAP")
+    return [forced] if forced else ["auto", "pallas", "xla"]
 
-    out = {}
-    parser = HeatmapParser(num_joints=17, max_num_people=30)
-    rng2 = np.random.RandomState(0)
 
-    # single sparse image (round-1-comparable number)
+def _make_sparse_det(rng2):
     det = np.clip(rng2.rand(1, 320, 320, 17) * 0.2, 0, 1
                   ).astype(np.float32)
     det[0, 100:103, 100:103, :] = 1.0
     tag = np.zeros((1, 320, 320, 17), np.float32)
+    return det, tag
+
+
+def _make_crowded_batch(rng2, b):
+    det = np.clip(rng2.rand(b, 320, 320, 17) * 0.2, 0, 1
+                  ).astype(np.float32)
+    for bi in range(b):
+        for _ in range(6):
+            i, j = rng2.randint(5, 310, 2)
+            det[bi, i:i + 3, j:j + 3, :] = rng2.rand() * 0.5 + 0.5
+    tag = (rng2.randn(b, 320, 320, 17) * 0.1).astype(np.float32)
+    return det, tag
+
+
+def section_decode_fused1():
+    """Device-only fused single-image decode (VERDICT r2 item 5): the
+    whole NMS->top-k->group->adjust->refine program scan-chained with
+    a data dependency — the on-chip cost a co-located server pays,
+    excluding the ~30 ms tunnel round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode.fused import decode_full
+
+    rng2 = np.random.RandomState(0)
+    det, tag = _make_sparse_det(rng2)
+    dj, tj = jnp.asarray(det), jnp.asarray(tag)
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    for lap in _bench_lap_ladder():
+        try:
+            def dec_loop(d0, t0_):
+                def body(d, _):
+                    people, n, scores = decode_full(
+                        d, t0_, use_pallas=use_pallas, lap=lap)
+                    d = d + (jnp.sum(scores) * 1e-9).astype(d.dtype)
+                    return d, jnp.sum(people)
+                _, outs = jax.lax.scan(body, d0, None, length=SCAN_LEN)
+                return outs
+
+            with compile_deadline(150):
+                dec_c = jax.jit(dec_loop).lower(dj, tj).compile()
+                jax.device_get(dec_c(dj, tj))  # compile + first
+            dtimes = []
+            for t in range(5):
+                d2 = jnp.asarray(det + (rng2.rand(*det.shape) * 1e-4
+                                        ).astype(np.float32))
+                jax.device_get(jnp.sum(d2))  # sync, not a full pull
+                t0 = time.time()
+                jax.device_get(dec_c(d2, tj))
+                dtimes.append(time.time() - t0)
+            dev_ms = float(np.median(dtimes)) / SCAN_LEN * 1e3
+            log(f"decode device-only: {dev_ms:.2f} ms/img "
+                f"(fused single-dispatch, lap={lap}, "
+                f"scan-chained x{SCAN_LEN})")
+            flush_metric({"decode_device_p50_ms_320": round(dev_ms, 2),
+                          "decode_device_lap": lap})
+            return dict(_PARTIAL)
+        except _CompileTimeout as e:
+            log(f"decode_fused1 lap={lap}: {e}; trying next rung")
+    raise RuntimeError("all lap rungs timed out compiling")
+
+
+def section_decode_fused32():
+    """Batched device-only decode: the grouping LAP is a sequential-
+    latency floor, but the mega-kernel / vmap lanes ride it in
+    lockstep, so the amortized per-image device cost — the
+    serving-relevant number — drops almost linearly with batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode.fused import decode_full_batch
+
+    rng2 = np.random.RandomState(7)
+    Bd = 32
+    detd, tagd = _make_crowded_batch(rng2, Bd)
+    djd, tjd = jnp.asarray(detd), jnp.asarray(tagd)
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    for lap in _bench_lap_ladder():
+        try:
+            def decb_loop(d0, t0_):
+                def body(d, _):
+                    people, n, scores = decode_full_batch(
+                        d, t0_, use_pallas=use_pallas, lap=lap)
+                    d = d + (jnp.sum(scores) * 1e-9).astype(d.dtype)
+                    return d, jnp.sum(n)
+                _, outs = jax.lax.scan(body, d0, None, length=SCAN_LEN)
+                return outs
+
+            with compile_deadline(200):
+                decb_c = jax.jit(decb_loop).lower(djd, tjd).compile()
+                jax.device_get(decb_c(djd, tjd))
+            btimes = []
+            for t in range(3):
+                d2 = jnp.asarray(detd + (rng2.rand(*detd.shape) * 1e-4
+                                         ).astype(np.float32))
+                jax.device_get(jnp.sum(d2))
+                t0 = time.time()
+                jax.device_get(decb_c(d2, tjd))
+                btimes.append(time.time() - t0)
+            bdt = min(btimes) / SCAN_LEN
+            log(f"decode device-only batched: {bdt / Bd * 1e3:.2f} "
+                f"ms/img ({Bd / bdt:.1f} img/s, batch={Bd} crowded, "
+                f"lap={lap})")
+            flush_metric({
+                "decode_device_ms_per_img_batch32":
+                    round(bdt / Bd * 1e3, 2),
+                "decode_device_img_s_batch32": round(Bd / bdt, 1),
+                "decode_device_batch_lap": lap,
+            })
+            return dict(_PARTIAL)
+        except _CompileTimeout as e:
+            log(f"decode_fused32 lap={lap}: {e}; trying next rung")
+    raise RuntimeError("all lap rungs timed out compiling")
+
+
+def section_decode_host():
+    """Production parse_batch (top-k+adjust dispatch, fast host
+    grouping, filtered batched device refine): blocking host-visible
+    latency, which on this tunnel includes a ~30 ms fixed round trip
+    per dispatch."""
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode import HeatmapParser
+
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+    rng2 = np.random.RandomState(0)
+
+    # single sparse image (round-1-comparable number)
+    det, tag = _make_sparse_det(rng2)
     dj, tj = jnp.asarray(det), jnp.asarray(tag)
     parser.parse_batch(dj, tj)  # compile
     times = []
@@ -385,91 +569,11 @@ def section_decode():
     p50 = float(np.median(times) * 1e3)
     log(f"decode p50: {p50:.1f} ms (320x320x17, single image, "
         f"incl ~30 ms tunnel round trip)")
-    out["decode_p50_ms_320"] = round(p50, 1)
-
-    # device-only fused decode (VERDICT r2 item 5): the whole
-    # NMS->top-k->group->adjust->refine program scan-chained with a
-    # data dependency, so the number excludes the ~30 ms tunnel round
-    # trip the blocking latency above cannot avoid — this is the
-    # on-chip cost a co-located server would pay
-    import jax
-
-    from rtpe_tpu.decode.fused import decode_full
-    use_pallas = jax.devices()[0].platform == "tpu"
-
-    def dec_loop(d0, t0_):
-        def body(d, _):
-            people, n, scores = decode_full(d, t0_,
-                                            use_pallas=use_pallas)
-            d = d + (jnp.sum(scores) * 1e-9).astype(d.dtype)
-            return d, jnp.sum(people)
-        _, outs = jax.lax.scan(body, d0, None, length=SCAN_LEN)
-        return outs
-
-    dec_c = jax.jit(dec_loop).lower(dj, tj).compile()
-    jax.device_get(dec_c(dj, tj))  # compile + first
-    dtimes = []
-    for t in range(5):
-        d2 = jnp.asarray(det + (rng2.rand(*det.shape) * 1e-4
-                                ).astype(np.float32))
-        jax.device_get(jnp.sum(d2))  # sync input, not a full pull
-        t0 = time.time()
-        jax.device_get(dec_c(d2, tj))
-        dtimes.append(time.time() - t0)
-    dev_ms = float(np.median(dtimes)) / SCAN_LEN * 1e3
-    log(f"decode device-only: {dev_ms:.2f} ms/img "
-        f"(fused single-dispatch, scan-chained x{SCAN_LEN})")
-    out["decode_device_p50_ms_320"] = round(dev_ms, 2)
-
-    # batched device-only decode: the grouping LAP is a sequential-
-    # latency floor, but under vmap all images ride it in lockstep
-    # lanes (decode_full_batch) — the amortized per-image device cost
-    # is the serving-relevant number
-    from rtpe_tpu.decode.fused import decode_full_batch
-    Bd = 32
-    detd = np.clip(rng2.rand(Bd, 320, 320, 17) * 0.2, 0, 1
-                   ).astype(np.float32)
-    for b in range(Bd):
-        for _ in range(6):
-            i, j = rng2.randint(5, 310, 2)
-            detd[b, i:i + 3, j:j + 3, :] = rng2.rand() * 0.5 + 0.5
-    tagd = (rng2.randn(Bd, 320, 320, 17) * 0.1).astype(np.float32)
-    djd, tjd = jnp.asarray(detd), jnp.asarray(tagd)
-
-    def decb_loop(d0, t0_):
-        def body(d, _):
-            people, n, scores = decode_full_batch(
-                d, t0_, use_pallas=use_pallas)
-            d = d + (jnp.sum(scores) * 1e-9).astype(d.dtype)
-            return d, jnp.sum(n)
-        _, outs = jax.lax.scan(body, d0, None, length=SCAN_LEN)
-        return outs
-
-    decb_c = jax.jit(decb_loop).lower(djd, tjd).compile()
-    jax.device_get(decb_c(djd, tjd))
-    btimes = []
-    for t in range(3):
-        d2 = jnp.asarray(detd + (rng2.rand(*detd.shape) * 1e-4
-                                 ).astype(np.float32))
-        jax.device_get(jnp.sum(d2))
-        t0 = time.time()
-        jax.device_get(decb_c(d2, tjd))
-        btimes.append(time.time() - t0)
-    bdt = min(btimes) / SCAN_LEN
-    log(f"decode device-only batched: {bdt / Bd * 1e3:.2f} ms/img "
-        f"({Bd / bdt:.1f} img/s, batch={Bd} crowded)")
-    out["decode_device_ms_per_img_batch32"] = round(bdt / Bd * 1e3, 2)
-    out["decode_device_img_s_batch32"] = round(Bd / bdt, 1)
+    flush_metric({"decode_p50_ms_320": round(p50, 1)})
 
     # batched crowded decode: 8 images x ~30 people
     B = 8
-    detb = np.clip(rng2.rand(B, 320, 320, 17) * 0.2, 0, 1
-                   ).astype(np.float32)
-    for b in range(B):
-        for _ in range(6):
-            i, j = rng2.randint(5, 310, 2)
-            detb[b, i:i + 3, j:j + 3, :] = rng2.rand() * 0.5 + 0.5
-    tagb = (rng2.randn(B, 320, 320, 17) * 0.1).astype(np.float32)
+    detb, tagb = _make_crowded_batch(rng2, B)
     djb, tjb = jnp.asarray(detb), jnp.asarray(tagb)
     ansb, _ = parser.parse_batch(djb, tjb)
     times = []
@@ -481,9 +585,11 @@ def section_decode():
     log(f"decode batched: {B / dt:.1f} img/s "
         f"({dt / B * 1e3:.1f} ms/img, batch={B}, "
         f"{len(ansb[0])} people/img)")
-    out["decode_img_s_batch8_crowded"] = round(B / dt, 1)
-    out["decode_ms_per_img_batch8_crowded"] = round(dt / B * 1e3, 1)
-    return out
+    flush_metric({
+        "decode_img_s_batch8_crowded": round(B / dt, 1),
+        "decode_ms_per_img_batch8_crowded": round(dt / B * 1e3, 1),
+    })
+    return dict(_PARTIAL)
 
 
 def section_canonical():
@@ -505,44 +611,67 @@ SECTIONS = {
     "int8": section_int8,
     "int8act": section_int8act,
     "train": section_train,
-    "decode": section_decode,
+    "decode_fused1": section_decode_fused1,
+    "decode_fused32": section_decode_fused32,
+    "decode_host": section_decode_host,
     "canonical": section_canonical,
 }
 
 
 # --------------------------------------------------------- orchestrator
 
-def _run_section_subprocess(name):
+def _run_section_subprocess(name, env_extra=None):
     """Run one section in a child process; return its dict or None.
 
     The child's result travels through a temp file (``--out``), not
     stdout — any library printing after the JSON line would otherwise
-    discard the whole section (ADVICE r2)."""
+    discard the whole section (ADVICE r2).  Sections flush each metric
+    to the file as it lands (:func:`flush_metric`), so on a timeout or
+    crash the partial result is still collected — a wedge costs the
+    metrics after it, never the ones before."""
     import tempfile
     timeout = SECTION_TIMEOUT[name]
     fd, out_path = tempfile.mkstemp(prefix=f"bench_{name}_",
                                     suffix=".json")
     os.close(fd)
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
     try:
-        res = subprocess.run(
-            [sys.executable, _FILE, "--section", name, "--out", out_path],
-            stdout=None, stderr=None,  # logs flow through
-            timeout=timeout, cwd=os.path.dirname(_FILE))
-    except subprocess.TimeoutExpired:
-        log(f"[{name}] TIMED OUT after {timeout}s (wedged compile?) — "
-            f"killed")
-        return None
-    if res.returncode != 0:
-        log(f"[{name}] exited rc={res.returncode}")
-        return None
-    try:
-        with open(out_path) as f:
-            got = json.load(f)
-        os.unlink(out_path)
+        failed = False
+        try:
+            res = subprocess.run(
+                [sys.executable, _FILE, "--section", name,
+                 "--out", out_path],
+                stdout=None, stderr=None,  # logs flow through
+                timeout=timeout, cwd=os.path.dirname(_FILE), env=env)
+            if res.returncode != 0:
+                log(f"[{name}] exited rc={res.returncode}")
+                failed = True
+        except subprocess.TimeoutExpired:
+            log(f"[{name}] TIMED OUT after {timeout}s (wedged "
+                f"compile?) — killed")
+            failed = True
+        try:
+            with open(out_path) as f:
+                content = f.read()
+            got = json.loads(content) if content.strip() else None
+        except Exception as e:
+            log(f"[{name}] unparseable result file: {e}")
+            got = None
+        if failed:
+            if got:
+                log(f"[{name}] salvaged partial result: "
+                    f"{sorted(got)}")
+                return got
+            return None
         return got
-    except Exception as e:
-        log(f"[{name}] unparseable result file: {e}")
-        return None
+    finally:
+        for p in (out_path, out_path + ".tmp"):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 def _result_json(headline, extra):
@@ -583,23 +712,35 @@ def main():
     # the first attempt always runs)
     for attempt in range(4):
         headline = _run_section_subprocess("headline")
-        if headline is not None:
+        if headline is not None and "value" in headline:
             break
+        headline = None
         if time.time() > deadline:
             log(f"headline attempt {attempt + 1} failed; budget exhausted")
             break
         log(f"headline attempt {attempt + 1} failed; retrying")
+    if headline:
+        # the headline section's own efficiency extras ride along —
+        # _result_json keeps only value/bs (VERDICT r3 item 1(a))
+        extra.update({k: v for k, v in headline.items()
+                      if k not in ("value", "bs")})
     # extras in value order: the train step is a driver-tracked metric
-    # (VERDICT r1 item 4), so it runs before the int8 showcase when the
-    # compile service is slow enough that the budget cuts the tail
-    for name in ("train", "int8act", "int8", "decode", "canonical"):
+    # (VERDICT r1 item 4), and decode runs BEFORE the int8 showcase
+    # (VERDICT r3 item 1(d)) so a slow compile service cuts the
+    # showcase, not the asked-for numbers
+    for name in ("train", "decode_fused1", "decode_fused32",
+                 "decode_host", "int8act", "int8", "canonical"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
         got = _run_section_subprocess(name)
-        if got is None:  # one retry per extra section
+        if got is None:  # one retry per extra section; the fused-
+            # decode retry pins the XLA lap rung so a mega-kernel
+            # wedge degrades the number instead of erasing it
             log(f"[{name}] retrying once")
-            got = _run_section_subprocess(name)
+            env2 = ({"RTPE_BENCH_LAP": "xla"}
+                    if name.startswith("decode_fused") else None)
+            got = _run_section_subprocess(name, env_extra=env2)
         if got is not None:
             extra.update(got)
 
@@ -608,10 +749,11 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
-        result = SECTIONS[sys.argv[2]]()
         if len(sys.argv) >= 5 and sys.argv[3] == "--out":
-            with open(sys.argv[4], "w") as f:
-                json.dump(result, f)
+            _OUT_PATH = sys.argv[4]
+        result = SECTIONS[sys.argv[2]]()
+        if _OUT_PATH is not None:
+            flush_metric(result)  # idempotent for flushing sections
         else:
             print(json.dumps(result))
     else:

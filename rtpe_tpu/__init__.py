@@ -51,9 +51,12 @@ def _apply_platform_override():
     if plat:
         try:
             import jax
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+        except ImportError:
+            return
+        # an invalid value or a failing update must NOT silently run on
+        # the wrong backend — that is the exact misconfiguration the
+        # env var exists to prevent (ADVICE r3)
+        jax.config.update("jax_platforms", plat)
 
 
 _apply_platform_override()

@@ -133,10 +133,13 @@ class _CanvasCache:
         ids = np.asarray(dataset.ids, np.int64)
         key = hashlib.sha1(
             ids.tobytes()
-            + np.asarray([ch, cw, num_joints, ae_dims]).tobytes()
+            + np.asarray([ch, cw, num_joints, ae_dims,
+                          MAX_PEOPLE]).tobytes()
+            + self._corpus_digest(dataset).encode()
         ).hexdigest()
         meta = {"n": n, "canvas_hw": [ch, cw], "num_joints": num_joints,
-                "ae_dims": ae_dims, "key": key}
+                "ae_dims": ae_dims, "max_people": MAX_PEOPLE,
+                "key": key}
         os.makedirs(cache_dir, exist_ok=True)
         meta_path = os.path.join(cache_dir, "meta.json")
         if os.path.exists(meta_path):
@@ -145,8 +148,8 @@ class _CanvasCache:
             if found != meta:
                 raise ValueError(
                     f"canvas cache at {cache_dir} was built for a "
-                    f"different dataset/geometry ({found} != {meta}); "
-                    f"use a fresh cache_dir")
+                    f"different dataset/geometry/teacher-corpus "
+                    f"({found} != {meta}); use a fresh cache_dir")
         else:
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
@@ -154,7 +157,18 @@ class _CanvasCache:
         def field(name, shape, dtype):
             path = os.path.join(cache_dir, name + ".npy")
             if os.path.exists(path):
-                return open_memmap(path, mode="r+")
+                mm = open_memmap(path, mode="r+")
+                # a stale/truncated file from an older layout or a
+                # crashed fill must be a clear key error, not silently
+                # served or an opaque index crash (ADVICE r3)
+                if mm.shape != tuple(shape) or mm.dtype != np.dtype(
+                        dtype):
+                    raise ValueError(
+                        f"canvas cache field {name} at {path} has "
+                        f"shape {mm.shape}/{mm.dtype}, expected "
+                        f"{tuple(shape)}/{np.dtype(dtype)} — stale or "
+                        f"corrupt cache; use a fresh cache_dir")
+                return mm
             return open_memmap(path, mode="w+", dtype=dtype,
                                shape=shape)
 
@@ -170,6 +184,32 @@ class _CanvasCache:
         self.filled = field("filled", (n,), np.uint8)
         self.canvas_hw = (ch, cw)
         self.ae_dims = ae_dims
+
+    @staticmethod
+    def _corpus_digest(dataset) -> str:
+        """Identity of the teacher corpus feeding the cached t_hms/t_ae.
+
+        Without this, regenerating the corpus (real weights after a
+        random-init smoke run, bf16 vs int8 teacher) under the same ids
+        and cache_dir would silently serve the OLD maps every epoch
+        (ADVICE r3, medium).  Per-file stat digest, not content hash:
+        the corpus is ~400 GB at reference scale
+        (``/root/reference/README.md:49``)."""
+        tdir = getattr(dataset, "teacher_dir", None)
+        if not tdir:
+            return "no-teacher"
+        h = hashlib.sha1(os.path.abspath(tdir).encode())
+        try:
+            names = sorted(os.listdir(tdir))
+        except OSError:
+            return h.hexdigest()
+        for nm in names:
+            try:
+                st = os.stat(os.path.join(tdir, nm))
+            except OSError:
+                continue
+            h.update(f"{nm}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
 
     def get(self, idx: int, dataset):
         if not self.filled[idx]:

@@ -7,6 +7,8 @@ only the final (p_max, J, 3+D) people table, its length, and the
 scores — one dispatch, one transfer.
 """
 
+import os
+import warnings
 from functools import partial
 from typing import Tuple
 
@@ -24,6 +26,76 @@ def _kernel_fits(k: int, m: int, p_max: int) -> bool:
     (:func:`rtpe_tpu.ops.pallas_group.match_by_tag_kernel`)."""
     return (k <= pallas_group._ROWS and 2 * m + 1 <= pallas_group._LANES
             and p_max <= pallas_group._PSLOTS and k <= m)
+
+
+_SELFCHECK_CACHE = {}
+
+
+def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
+                     num_joints: int = 17, d: int = 1,
+                     interpret: bool = False) -> bool:
+    """One-time compiled-mega-kernel-vs-XLA grouping parity probe.
+
+    CI exercises the kernel in interpret mode on CPU only; a Mosaic or
+    libtpu regression on the real device would otherwise change AP
+    silently (ADVICE r3).  This runs the COMPILED kernel against the
+    XLA Hungarian on a tiny non-degenerate fixture (well-separated tag
+    clusters -> a unique optimal assignment, so tie-breaking cannot
+    legitimately diverge) and caches the verdict per process+shapes.
+    Any mismatch or kernel failure demotes ``lap="auto"`` to the
+    per-joint Pallas path.  Disable with ``RTPE_LAP_SELFCHECK=0``
+    (e.g. the bench, which measures each rung explicitly).
+    """
+    key = (max_num_people, p_max, num_joints, d, interpret)
+    if key in _SELFCHECK_CACHE:
+        return _SELFCHECK_CACHE[key]
+    import numpy as np
+    rng = np.random.default_rng(0)
+    centers = np.linspace(-6.0, 6.0, 5)
+    tags = np.zeros((1, num_joints, max_num_people, d), np.float32)
+    for k in range(max_num_people):
+        tags[0, :, k, :] = (centers[k % 5]
+                            + rng.normal(size=(num_joints, d)) * 0.05)
+    locs = rng.uniform(0, 128, size=(1, num_joints, max_num_people, 2)
+                       ).astype(np.float32)
+    vals = rng.uniform(0.2, 1.0, size=(1, num_joints, max_num_people)
+                       ).astype(np.float32)
+    vals[0, :, max(1, max_num_people * 2 // 5):] = -1.0  # sub-threshold
+    try:
+        p_k, n_k = pallas_group.match_by_tag_kernel(
+            jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+            max_num_people=max_num_people, p_max=p_max,
+            interpret=interpret)
+        p_x, n_x = match_by_tag_jit(
+            jnp.asarray(tags[0]), jnp.asarray(locs[0]),
+            jnp.asarray(vals[0]), max_num_people=max_num_people,
+            p_max=p_max, lap="xla")
+        ok = bool(int(n_k[0]) == int(n_x)
+                  and np.allclose(np.asarray(p_k[0]), np.asarray(p_x),
+                                  atol=1e-4))
+        if not ok:
+            warnings.warn(
+                "grouping mega-kernel failed the on-device parity "
+                "self-check vs the XLA solver; lap='auto' demoted to "
+                "the per-joint Pallas path")
+    except Exception as e:
+        warnings.warn(
+            f"grouping mega-kernel self-check errored ({e!r}); "
+            f"lap='auto' demoted to the per-joint Pallas path")
+        ok = False
+    _SELFCHECK_CACHE[key] = ok
+    return ok
+
+
+def _resolve_auto_lap(max_num_people: int, p_max: int, num_joints: int,
+                      d: int) -> str:
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = on_tpu and _kernel_fits(max_num_people,
+                                         max_num_people, p_max)
+    if use_kernel and os.environ.get("RTPE_LAP_SELFCHECK", "1") != "0":
+        use_kernel = kernel_selfcheck(max_num_people, p_max,
+                                      num_joints, d)
+    return "kernel" if use_kernel else ("pallas" if on_tpu else "xla")
 
 
 @partial(jax.jit, static_argnames=(
@@ -53,18 +125,16 @@ def decode_full(det: jax.Array, tag: jax.Array,
       :func:`~rtpe_tpu.decode.group_jit.match_by_tag_jit`.
     :returns: (people (p_max, J, 3+D), n_people int32, scores (p_max,)).
     """
+    _, h, w, j = det.shape
     if lap == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        fits = _kernel_fits(max_num_people, max_num_people, p_max)
-        lap = "kernel" if (on_tpu and fits) else \
-            ("pallas" if on_tpu else "xla")
+        dd = (tag.shape[-1] // j) if tag_per_joint else tag.shape[-1]
+        lap = _resolve_auto_lap(max_num_people, p_max, j, dd)
     if lap in ("kernel", "kernel_interpret"):
         # the Mosaic NMS+top-k kernel and the grouping mega-kernel in
         # one program crash this TPU backend (worker kernel fault,
         # reproducible); the XLA top-k costs the same on real scenes,
         # so the combination is simply never emitted
         use_pallas = False
-    _, h, w, j = det.shape
     val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
                                 nms_padding, tag_per_joint,
                                 use_pallas=use_pallas)
@@ -140,14 +210,12 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
     :returns: (people (B, p_max, J, 3+D), n_people (B,), scores
       (B, p_max)).
     """
+    b, h, w, j = det.shape
     if lap == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        fits = _kernel_fits(max_num_people, max_num_people, p_max)
-        lap = "kernel" if (on_tpu and fits) else \
-            ("pallas" if on_tpu else "xla")
+        dd = (tag.shape[-1] // j) if tag_per_joint else tag.shape[-1]
+        lap = _resolve_auto_lap(max_num_people, p_max, j, dd)
     if lap in ("kernel", "kernel_interpret"):
         use_pallas = False  # see decode_full: combo crashes the worker
-    b, h, w, j = det.shape
     # top-k is natively batched (and the Pallas kernels stay out of
     # vmap); only the adjust/refine tail is vmapped
     val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,

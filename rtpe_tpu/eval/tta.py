@@ -54,20 +54,27 @@ def tta_forward(apply_fn: Callable, img: jax.Array,
                 scales: Sequence[float] = (1.0,),
                 base_hw: Optional[Tuple[int, int]] = None
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Aggregate heatmaps/tags over flip and scales.
+    """Aggregate heatmaps/tags over flip and scales, batched.
+
+    TPU-first shape (SURVEY §5.7): flip rides as a DOUBLED LEADING
+    AXIS — one ``(2B, H, W, 3)`` dispatch per scale instead of 2B
+    sequential forwards — and the whole image batch aggregates on
+    device.  The per-image result is identical to running images one
+    at a time (asserted in ``tests/test_extras.py``), because every
+    aggregation step is per-image elementwise.
 
     :param apply_fn: ``f(batch_nhwc) -> (coarse, refined)`` with coarse
       carrying [heatmaps | tags] channels and refined carrying heatmaps
       (the teacher head contract).
-    :param img: (1, H, W, 3) preprocessed input at scale 1.
-    :returns: ``(heatmaps (1, H', W', J), tags (1, H', W', J*D))`` at
+    :param img: (B, H, W, 3) preprocessed inputs at scale 1.
+    :returns: ``(heatmaps (B, H', W', J), tags (B, H', W', J*D))`` at
       ``base_hw`` (default: scale-1 refined resolution); D=2 with flip.
     """
     if 1.0 not in [float(s) for s in scales]:
         raise ValueError(
             f"scales {tuple(scales)} must include 1.0: tags are taken "
             f"from the primary scale only (HigherHRNet TTA contract)")
-    h, w = img.shape[1:3]
+    b, h, w = img.shape[0:3]
     hm_acc = None
     tag_list: List[jax.Array] = []
     n_contrib = 0
@@ -90,26 +97,26 @@ def tta_forward(apply_fn: Callable, img: jax.Array,
 
         hms = resize_bilinear(hms, base_hw, align_corners=True)
         if with_flip:
-            hm = hms[0:1] + flip_back(hms[1:2])
+            hm = hms[:b] + flip_back(hms[b:])
             n_contrib += 2
         else:
-            hm = hms[0:1]
+            hm = hms[:b]
             n_contrib += 1
         hm_acc = hm if hm_acc is None else hm_acc + hm
 
         if scale == 1.0:  # tags only from the primary scale (HHRNet)
             tags_up = resize_bilinear(tags, base_hw, align_corners=True)
-            tag_list.append(tags_up[0:1])
+            tag_list.append(tags_up[:b])
             if with_flip:
-                tag_list.append(flip_back(tags_up[1:2]))
+                tag_list.append(flip_back(tags_up[b:]))
 
     hm_avg = hm_acc / float(n_contrib)
-    # stack flip tags along the tag dim: (1, H', W', J) x2 -> per-joint
+    # stack flip tags along the tag dim: (B, H', W', J) x2 -> per-joint
     # D=2 vectors in the parser's (B, H, W, J*D) layout via interleave
     if len(tag_list) == 1:
         tags_out = tag_list[0]
     else:
         j = tag_list[0].shape[-1]
-        stacked = jnp.stack(tag_list, axis=-1)  # (1, H', W', J, D)
+        stacked = jnp.stack(tag_list, axis=-1)  # (B, H', W', J, D)
         tags_out = stacked.reshape(*stacked.shape[:3], j * len(tag_list))
     return hm_avg, tags_out

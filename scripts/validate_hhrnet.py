@@ -167,7 +167,10 @@ def main():
     import time
     fwd_s = 0.0
     for shape, idxs in sorted(buckets.items()):
-        bs = 1 if use_tta else max(1, args.batch_size)
+        # TTA batches like the plain path: flip is a doubled leading
+        # axis inside tta_forward, scales are separate dispatches
+        # (round-4; the reference and rounds 1-3 forced bs=1 here)
+        bs = max(1, args.batch_size)
         for s0 in range(0, len(idxs), bs):
             chunk = []
             for i in idxs[s0:s0 + bs]:

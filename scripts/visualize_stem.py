@@ -24,6 +24,9 @@ def main():
                    default="models/pose_higher_hrnet_w48_640.pth.tar")
     p.add_argument("-o", "--out_dir", default="/tmp/stem_planes")
     p.add_argument("--max_planes", type=int, default=256)
+    p.add_argument("--input_size", type=int, default=640,
+                   help="resize target (reference fixes 640; smaller "
+                        "keeps CPU smoke drives fast)")
     args = p.parse_args()
 
     import cv2
@@ -63,7 +66,7 @@ def main():
 
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
     resized, _, _ = resize_align_multi_scale(
-        img.astype(np.float32), 640, 1, 1)
+        img.astype(np.float32), args.input_size, 1, 1)
     x = jnp.asarray(normalize_image(resized / 255.0)[None])
     feats = np.asarray(model.apply(variables, x), np.float32)[0]
     log.info(f"stem features: {feats.shape}")

@@ -446,3 +446,21 @@ def test_decode_full_pallas_lap_matches_xla():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_selfcheck_interpret_and_auto_demotion():
+    """The one-time auto->kernel parity probe (ADVICE r3): in interpret
+    mode the mega-kernel passes on the non-degenerate fixture; on a
+    non-TPU backend the auto resolution never selects the kernel (and
+    never pays for the probe)."""
+    import jax
+
+    from rtpe_tpu.decode import fused
+
+    assert fused.kernel_selfcheck(max_num_people=8, p_max=16,
+                                  num_joints=4, d=1, interpret=True)
+    # small shapes keep the interpret run cheap; the verdict is cached
+    key = (8, 16, 4, 1, True)
+    assert fused._SELFCHECK_CACHE[key] is True
+    if jax.default_backend() != "tpu":
+        assert fused._resolve_auto_lap(30, 90, 17, 1) == "xla"

@@ -83,6 +83,42 @@ def test_tta_multiscale_aggregation():
     assert tags.shape[-1] == j  # primary scale only
 
 
+def test_tta_forward_batched_matches_per_image():
+    """Batched TTA (flip as a doubled leading axis, VERDICT r3 item 4)
+    equals running each image through the bs=1 path, for flip alone and
+    flip+multi-scale."""
+    from rtpe_tpu.eval.tta import tta_forward
+
+    rng = np.random.RandomState(2)
+    j = 5
+
+    # a non-symmetric "model" with real spatial structure: depthwise-ish
+    # mixes of the input so flips genuinely change the maps
+    k_hm = jnp.asarray(rng.rand(3, j).astype(np.float32))
+    k_tag = jnp.asarray(rng.rand(3, j).astype(np.float32))
+
+    def apply_fn(batch):
+        b, h, w, _ = batch.shape
+        base = batch[:, ::2, ::2, :]  # (b, h/2, w/2, 3)
+        refined = jnp.einsum("bhwc,cj->bhwj", base, k_hm)
+        coarse_hm = refined[:, ::2, ::2, :]
+        tags = jnp.einsum("bhwc,cj->bhwj", base[:, ::2, ::2, :], k_tag)
+        coarse = jnp.concatenate([coarse_hm, tags], axis=-1)
+        return coarse, refined
+
+    imgs = jnp.asarray(rng.rand(3, 32, 32, 3).astype(np.float32))
+    for kwargs in ({"with_flip": True},
+                   {"with_flip": True, "scales": (1.0, 2.0)}):
+        hm_b, tag_b = tta_forward(apply_fn, imgs, num_joints=j, **kwargs)
+        for i in range(imgs.shape[0]):
+            hm_1, tag_1 = tta_forward(apply_fn, imgs[i:i + 1],
+                                      num_joints=j, **kwargs)
+            np.testing.assert_allclose(np.asarray(hm_b[i:i + 1]),
+                                       np.asarray(hm_1), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(tag_b[i:i + 1]),
+                                       np.asarray(tag_1), atol=1e-6)
+
+
 # -----------------------------------------------------------------------------
 # RSB
 # -----------------------------------------------------------------------------

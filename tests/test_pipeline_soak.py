@@ -215,3 +215,35 @@ def test_canvas_cache_rejects_mismatched_geometry(synthetic_coco,
     with pytest.raises(ValueError, match="different dataset"):
         TrainPipeline(ds, batch_size=8, canvas_hw=(512, 512),
                       cache_dir=cc)
+
+
+def test_canvas_cache_rejects_regenerated_teacher_corpus(
+        synthetic_coco, tmp_path):
+    """Regenerating the teacher corpus under the same ids/cache_dir must
+    be a key error, not silently-served stale maps (ADVICE r3)."""
+    cc = str(tmp_path / "cc4")
+    _make_cached_pipe(synthetic_coco, cc)
+    # touch one corpus file: new mtime = new corpus identity
+    tdir = os.path.join(synthetic_coco, "teacher")
+    victim = os.path.join(tdir, sorted(os.listdir(tdir))[0])
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 10 ** 9))
+    with pytest.raises(ValueError, match="teacher-corpus"):
+        _make_cached_pipe(synthetic_coco, cc)
+
+
+def test_canvas_cache_rejects_stale_field_layout(synthetic_coco,
+                                                 tmp_path):
+    """A pre-existing field memmap whose shape/dtype disagrees with the
+    requested layout is a clear error (ADVICE r3), not an opaque crash."""
+    cc = str(tmp_path / "cc5")
+    pipe = _make_cached_pipe(synthetic_coco, cc)
+    del pipe
+    # overwrite one field with a wrong-shaped array, keep meta.json
+    from numpy.lib.format import open_memmap
+    path = os.path.join(cc, "hw.npy")
+    os.unlink(path)
+    mm = open_memmap(path, mode="w+", dtype=np.int32, shape=(3, 2))
+    del mm
+    with pytest.raises(ValueError, match="stale or corrupt"):
+        _make_cached_pipe(synthetic_coco, cc)
