@@ -52,7 +52,8 @@ class PosePredictor:
                  int8_act: bool = False,
                  calibration_images: Optional[Sequence] = None,
                  allow_synthetic_calibration: bool = False,
-                 mesh=None):
+                 mesh=None,
+                 spatial_mesh=None):
         """``packed=True`` serves the W48 teacher through the row-packed
         fast path (``models/hrnet_packed.py``): BN folded into bf16
         weights once here, ~1.9x the canonical forward throughput.
@@ -78,7 +79,19 @@ class PosePredictor:
         ``mesh`` — a ``jax.sharding.Mesh`` with a ``data`` axis: batch
         calls (:meth:`predict_batch`) shard the image batch over it
         with replicated parameters (data-parallel serving; the
-        reference serves strictly one image on one GPU)."""
+        reference serves strictly one image on one GPU).
+
+        ``spatial_mesh`` — a ``jax.sharding.Mesh`` with a ``model``
+        axis: the forward runs as the FULLY spatially-sharded W48
+        (``parallel/spatial.py:spatial_forward_w48`` — every
+        activation H-sharded with ``ppermute`` halo exchanges), for
+        inputs so large (>1k px) that one chip's HBM cannot hold the
+        activations.  BN is folded into dense fp32 weights once here;
+        output equals the canonical forward within fold tolerance
+        (``tests/test_spatial_stem.py``).  Requires the post-resize
+        height to divide by ``32 * n_shards`` — pick ``input_size``
+        accordingly (the 64-multiple resize keeps this easy).
+        Mutually exclusive with ``packed``/``mesh``."""
         self.model = model
         self.variables = variables
         self.num_joints = num_joints
@@ -97,7 +110,27 @@ class PosePredictor:
                 "random-batch activation scales — unvalidated numerics."
                 " Pass real calibration_images, or opt in explicitly "
                 "with allow_synthetic_calibration=True")
-        if packed:
+        if spatial_mesh is not None:
+            if packed or mesh is not None:
+                raise ValueError(
+                    "spatial_mesh is the dense fp32 halo-exchange "
+                    "path; it composes with neither packed/int8 nor "
+                    "a data mesh")
+            from ..models.hrnet_packed import fold_w48_params
+            from ..parallel.spatial import spatial_forward_w48
+            cfg = model.cfg
+            fw = jax.jit(lambda v: fold_w48_params(v, cfg))(variables)
+            n_sp = spatial_mesh.shape["model"]
+
+            def spatial_fwd(x):
+                if x.shape[1] % (32 * n_sp):
+                    raise ValueError(
+                        f"spatial_mesh: post-resize height {x.shape[1]}"
+                        f" must divide by 32*{n_sp}; adjust input_size")
+                return spatial_forward_w48(fw, x, spatial_mesh, cfg)
+
+            self._fwd = spatial_fwd
+        elif packed:
             from ..models.hrnet_packed import (
                 calibrate_act_scales, pack_w48_params, packed_forward,
                 quantize_packed)

@@ -57,6 +57,32 @@ def set_bn_compute_dtype(dtype) -> None:
     _BN_COMPUTE_DTYPE = dtype
 
 
+class bn_compute_dtype:
+    """Context manager scoping the BN compute dtype to one trace.
+
+    flax reads the global when ``batch_norm()`` constructs during
+    ``nn.compact`` tracing, so wrapping ``model.apply`` (or its jit
+    trace) is sufficient and leaves the process-wide parity default
+    untouched.  flax computes the batch STATISTICS in fp32 regardless
+    (``force_float32_reductions``); only the normalization arithmetic
+    and the materialized output change width."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def __enter__(self):
+        global _BN_COMPUTE_DTYPE
+        self._old = _BN_COMPUTE_DTYPE
+        if self.dtype is not None:
+            _BN_COMPUTE_DTYPE = self.dtype
+        return self
+
+    def __exit__(self, *exc):
+        global _BN_COMPUTE_DTYPE
+        _BN_COMPUTE_DTYPE = self._old
+        return False
+
+
 def batch_norm(momentum: float = BN_MOMENTUM_TORCH,
                name: str = None) -> nn.BatchNorm:
     """torch ``nn.BatchNorm2d`` equivalent (fp32 stats/params)."""

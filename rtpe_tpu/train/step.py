@@ -20,6 +20,7 @@ the gradient all-reduce.
 """
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -112,7 +113,9 @@ def att_divisor_at(step, cfg: DistillConfig):
 
 
 def make_distill_train_step(model, cfg: DistillConfig,
-                            grad_accum: int = 1):
+                            grad_accum: int = 1,
+                            bn_dtype=None,
+                            donate: bool = False):
     """Build the jitted train step.
 
     ``batch`` dict (NHWC, fixed shapes): ``img`` (B,H,W,3) normalized,
@@ -128,15 +131,31 @@ def make_distill_train_step(model, cfg: DistillConfig,
       bs-B/N pipeline trains at an effective batch of B.  BatchNorm
       batch statistics are per-microbatch (the standard accumulation
       semantics; a full-batch step normalizes over all B at once).
+    :param bn_dtype: BatchNorm COMPUTE dtype inside the step (batch
+      statistics stay fp32 either way — flax's
+      ``force_float32_reductions``).  The step is HBM-bound at fp32
+      (91.7% of peak bandwidth at 15.4% of peak compute,
+      BENCH_r03.json): every BN materializes its region of the graph
+      — and its backward cotangents — in fp32 while the convs run
+      bf16.  ``jnp.bfloat16`` halves that traffic; parity against the
+      reference's fp32-BN-in-fp16-model policy
+      (``fp16_utils/fp16util.py:71-91``) keeps ``None`` (fp32) the
+      default.  Accuracy: ``tests/test_train.py`` trains both and
+      checks loss-curve agreement.
+    :param donate: donate the state argument so XLA reuses the
+      params/optimizer buffers in place (serving no purpose on CPU,
+      where donation is unimplemented; the training scripts pass True).
     """
     tx, att_sched, det_sched = make_distill_optimizer(cfg)
+    from ..models.layers import bn_compute_dtype
 
     def loss_fn(params, batch_stats, step, batch):
-        (att, det), mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["img"], batch["img_alt"],
-            att_divisor=att_divisor_at(step, cfg),
-            train=True, mutable=["batch_stats"])
+        with bn_compute_dtype(bn_dtype):
+            (att, det), mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["img"], batch["img_alt"],
+                att_divisor=att_divisor_at(step, cfg),
+                train=True, mutable=["batch_stats"])
         att_hw = att.shape[1:3]
         det_hw = det.shape[1:3]
         segm = resize_bilinear(batch["segm_mask"], att_hw,
@@ -162,7 +181,7 @@ def make_distill_train_step(model, cfg: DistillConfig,
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: DistillTrainState, batch: Dict
                    ) -> Tuple[DistillTrainState, Dict]:
         if grad_accum == 1:

@@ -52,6 +52,13 @@ def parse_args():
     p.add_argument("--grad_accum", type=int, default=1,
                    help="microbatch count: gradients of batch_size/N "
                         "slices are averaged into one optimizer update")
+    p.add_argument("--bn_f32", action="store_true",
+                   help="compute BatchNorm in fp32 (the reference's "
+                        "fp32-BN-in-fp16-model parity policy).  The "
+                        "default computes BN in bf16 — batch stats "
+                        "stay fp32 — which halves the HBM-bound "
+                        "step's activation traffic (~2x step rate on "
+                        "TPU; see BENCH train extras)")
     p.add_argument("--num_epochs", type=int, default=20000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--train_hw", type=int, nargs=2, default=[450, 450])
@@ -193,8 +200,11 @@ def main():
     mesh = make_mesh(n_data=args.mesh_data)
     log.info(f"mesh: {mesh}")
     if args.student == "attention_steps":
-        step_fn = make_distill_train_step(model, cfg,
-                                          grad_accum=args.grad_accum)
+        import jax.numpy as jnp
+        step_fn = make_distill_train_step(
+            model, cfg, grad_accum=args.grad_accum,
+            bn_dtype=None if args.bn_f32 else jnp.bfloat16,
+            donate=True)
     else:
         from rtpe_tpu.train.legacy_steps import make_student_train_step
         raw_step = make_student_train_step(

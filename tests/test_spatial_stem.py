@@ -165,3 +165,53 @@ def test_spatial_full_forward_reduced_cfg():
         b = np.asarray(got, np.float32)
         assert np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12) \
             < 1e-4
+
+
+@pytest.mark.slow
+def test_predictor_spatial_mesh_matches_dense():
+    """PosePredictor(spatial_mesh=...) — the >1k-px serving entry
+    (VERDICT r3 item 6) — returns the same people as the dense
+    predictor.  Reduced cfg keeps the shard_map compile in seconds;
+    W48-scale equality is the slow-lane tests above."""
+    from jax.sharding import Mesh
+
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models.hrnet import HRNetConfig, StageCfg
+
+    small = HRNetConfig(
+        num_joints=5,
+        stage2=StageCfg(1, 2, "BASIC", (2, 2), (8, 16)),
+        stage3=StageCfg(2, 3, "BASIC", (2, 2, 2), (8, 16, 32)),
+        stage4=StageCfg(1, 4, "BASIC", (2, 2, 2, 2), (8, 16, 32, 64)),
+        deconv_chans=(8,), deconv_num_blocks=2)
+    model = PoseHigherHRNet(cfg=small, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    rng = np.random.RandomState(0)
+    img = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+
+    dense = PosePredictor(model, v, num_joints=5, input_size=128)
+    spatial = PosePredictor(model, v, num_joints=5, input_size=128,
+                            spatial_mesh=mesh)
+    people_d, scores_d = dense.predict(img)
+    people_s, scores_s = spatial.predict(img)
+    assert len(people_d) == len(people_s)
+    for a, b in zip(people_d, people_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(scores_s),
+                               np.asarray(scores_d), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_predictor_spatial_mesh_rejects_bad_combos():
+    from jax.sharding import Mesh
+
+    from rtpe_tpu.eval.predictor import PosePredictor
+
+    cfg = w48_config()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    with pytest.raises(ValueError, match="spatial_mesh"):
+        PosePredictor(model, {}, packed=True, spatial_mesh=mesh)
