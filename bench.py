@@ -364,8 +364,10 @@ def section_train():
         jax.random.PRNGKey(0), x0, x0, train=False))()
     dcfg = DistillConfig()
     state = DistillTrainState.create(sv, dcfg)
-    step_fn = make_distill_train_step(student, dcfg,
-                                      bn_dtype=jnp.bfloat16)
+    # RTPE_BENCH_BN=f32 measures the parity-policy step instead
+    bn = (None if os.environ.get("RTPE_BENCH_BN") == "f32"
+          else jnp.bfloat16)
+    step_fn = make_distill_train_step(student, dcfg, bn_dtype=bn)
     rng = np.random.RandomState(0)
     batch = {
         "img": rng.rand(bs, hw, hw, 3).astype(np.float32),

@@ -33,7 +33,8 @@ _SELFCHECK_CACHE = {}
 
 def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
                      num_joints: int = 17, d: int = 1,
-                     interpret: bool = False) -> bool:
+                     interpret: bool = False,
+                     solver: str = "lap") -> bool:
     """One-time compiled-mega-kernel-vs-XLA grouping parity probe.
 
     CI exercises the kernel in interpret mode on CPU only; a Mosaic or
@@ -46,7 +47,7 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
     per-joint Pallas path.  Disable with ``RTPE_LAP_SELFCHECK=0``
     (e.g. the bench, which measures each rung explicitly).
     """
-    key = (max_num_people, p_max, num_joints, d, interpret)
+    key = (max_num_people, p_max, num_joints, d, interpret, solver)
     if key in _SELFCHECK_CACHE:
         return _SELFCHECK_CACHE[key]
     import numpy as np
@@ -65,7 +66,7 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
         p_k, n_k = pallas_group.match_by_tag_kernel(
             jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
             max_num_people=max_num_people, p_max=p_max,
-            interpret=interpret)
+            interpret=interpret, solver=solver)
         p_x, n_x = match_by_tag_jit(
             jnp.asarray(tags[0]), jnp.asarray(locs[0]),
             jnp.asarray(vals[0]), max_num_people=max_num_people,
@@ -88,14 +89,21 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
 
 
 def _resolve_auto_lap(max_num_people: int, p_max: int, num_joints: int,
-                      d: int) -> str:
+                      d: int, single_image: bool = False) -> str:
+    """``single_image=True`` prefers the greedy solver: the exact LAP's
+    sequential Dijkstra depth is the blocking-latency floor (9.6 ms at
+    320px crowded-noise scenes vs the <=5 ms target), while the greedy
+    kernel is straight-line vector code.  Batched decode keeps the
+    exact LAP — its depth amortizes across lockstep lanes."""
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = on_tpu and _kernel_fits(max_num_people,
                                          max_num_people, p_max)
+    want = "greedy" if single_image else "kernel"
     if use_kernel and os.environ.get("RTPE_LAP_SELFCHECK", "1") != "0":
-        use_kernel = kernel_selfcheck(max_num_people, p_max,
-                                      num_joints, d)
-    return "kernel" if use_kernel else ("pallas" if on_tpu else "xla")
+        use_kernel = kernel_selfcheck(
+            max_num_people, p_max, num_joints, d,
+            solver="greedy" if single_image else "lap")
+    return want if use_kernel else ("pallas" if on_tpu else "xla")
 
 
 @partial(jax.jit, static_argnames=(
@@ -117,19 +125,26 @@ def decode_full(det: jax.Array, tag: jax.Array,
     """:param det: (1, H, W, J); :param tag: (1, H, W, J*D) or (1,H,W,D).
     :param lap: grouping solver — ``"auto"`` picks the single-launch
       grouping mega-kernel (:mod:`rtpe_tpu.ops.pallas_group`: cost
-      build + LAP + people-table update, one ``pallas_call`` for all
-      joints) on TPU and the XLA Hungarian elsewhere.  ``"kernel"`` /
-      ``"kernel_interpret"`` force the mega-kernel (compiled /
-      interpreter); ``"pallas"`` keeps the per-joint LAP-kernel scan;
-      other values pass through to
+      build + assignment + people-table update, one ``pallas_call``
+      for all joints) on TPU — with the GREEDY assignment solver for
+      this single-image entry (the exact LAP's sequential Dijkstra
+      depth is the blocking-latency floor; people/AP-level agreement
+      asserted in tests) — and the XLA Hungarian elsewhere.
+      ``"kernel"`` / ``"greedy"`` (and their ``*_interpret`` forms)
+      force the mega-kernel with the exact / greedy solver;
+      ``"pallas"`` keeps the per-joint LAP-kernel scan; other values
+      pass through to
       :func:`~rtpe_tpu.decode.group_jit.match_by_tag_jit`.
     :returns: (people (p_max, J, 3+D), n_people int32, scores (p_max,)).
     """
     _, h, w, j = det.shape
     if lap == "auto":
         dd = (tag.shape[-1] // j) if tag_per_joint else tag.shape[-1]
-        lap = _resolve_auto_lap(max_num_people, p_max, j, dd)
-    if lap in ("kernel", "kernel_interpret"):
+        lap = _resolve_auto_lap(max_num_people, p_max, j, dd,
+                                single_image=True)
+    kernel_laps = ("kernel", "kernel_interpret", "greedy",
+                   "greedy_interpret")
+    if lap in kernel_laps:
         # the Mosaic NMS+top-k kernel and the grouping mega-kernel in
         # one program crash this TPU backend (worker kernel fault,
         # reproducible); the XLA top-k costs the same on real scenes,
@@ -138,7 +153,7 @@ def decode_full(det: jax.Array, tag: jax.Array,
     val_k, loc_k, tag_k = top_k(det, tag, max_num_people, nms_ksize,
                                 nms_padding, tag_per_joint,
                                 use_pallas=use_pallas)
-    if lap in ("kernel", "kernel_interpret"):
+    if lap in kernel_laps:
         people_b, n_b = pallas_group.match_by_tag_kernel(
             tag_k, loc_k, val_k,
             max_num_people=max_num_people,
@@ -146,7 +161,8 @@ def decode_full(det: jax.Array, tag: jax.Array,
             tag_threshold=tag_threshold,
             use_detection_val=use_detection_val,
             ignore_too_much=ignore_too_much,
-            p_max=p_max, interpret=(lap == "kernel_interpret"))
+            p_max=p_max, interpret=lap.endswith("_interpret"),
+            solver="greedy" if lap.startswith("greedy") else "lap")
         people, n_people = people_b[0], n_b[0]
     else:
         people, n_people = match_by_tag_jit(
@@ -214,7 +230,9 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
     if lap == "auto":
         dd = (tag.shape[-1] // j) if tag_per_joint else tag.shape[-1]
         lap = _resolve_auto_lap(max_num_people, p_max, j, dd)
-    if lap in ("kernel", "kernel_interpret"):
+    kernel_laps = ("kernel", "kernel_interpret", "greedy",
+                   "greedy_interpret")
+    if lap in kernel_laps:
         use_pallas = False  # see decode_full: combo crashes the worker
     # top-k is natively batched (and the Pallas kernels stay out of
     # vmap); only the adjust/refine tail is vmapped
@@ -222,7 +240,7 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
                                 nms_padding, tag_per_joint,
                                 use_pallas=use_pallas)
 
-    if lap in ("kernel", "kernel_interpret"):
+    if lap in kernel_laps:
         people_b, n_b = pallas_group.match_by_tag_kernel(
             tag_k, loc_k, val_k,
             max_num_people=max_num_people,
@@ -230,7 +248,8 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
             tag_threshold=tag_threshold,
             use_detection_val=use_detection_val,
             ignore_too_much=ignore_too_much,
-            p_max=p_max, interpret=(lap == "kernel_interpret"))
+            p_max=p_max, interpret=lap.endswith("_interpret"),
+            solver="greedy" if lap.startswith("greedy") else "lap")
 
         def tail_k(det_i, tag_i, people, n_people):
             det0 = det_i.astype(jnp.float32)

@@ -140,7 +140,8 @@ def _group_step(tags, locs, vals,
                 cost_scr,
                 *, k: int, m: int, d: int, p_max: int,
                 detection_threshold: float, tag_threshold: float,
-                use_detection_val: bool, ignore_too_much: bool):
+                use_detection_val: bool, ignore_too_much: bool,
+                solver: str = "lap"):
     """One joint's grouping pass against the carried person state.
 
     ``tags`` (32, D), ``locs`` (32, 2), ``vals`` (32, 1) are this
@@ -203,23 +204,58 @@ def _group_step(tags, locs, vals,
     # people exist yet (or ignore_too_much saturates), the assignment
     # is irrelevant — every active row becomes a new person — and the
     # LAP is skipped outright.
-    n_valid = jnp.max(jnp.where(det_valid, row2 + 1, 0))
-    n_rows = jnp.where((p_cur == 0) | skip_all, 0, n_valid)
-    p = _lap_on_scratch(cost_scr, lane, n=n_rows, m=2 * m)
-
-    # col of each detection row (every row 0..k-1 is assigned: k <= m)
-    rowmatch = (p == row2 + 1) & (lane2 >= 1) & (lane2 <= 2 * m)
-    col_of_row = jnp.sum(jnp.where(rowmatch, lane2 - 1, 0), axis=1,
-                         keepdims=True)                     # (32, 1)
-    # diff_saved at the assigned (clipped) person column
-    tgt_lane = jnp.clip(col_of_row, 0, m - 1) + 1
-    diff_at = jnp.sum(jnp.where(lane2 == tgt_lane, diff_saved, 0.0),
-                      axis=1, keepdims=True)                # (32, 1)
-
     active = det_valid & (~skip_all)
-    matched_v = (active & (col_of_row < p_cur) &
-                 (diff_at < tag_threshold)).astype(jnp.int32)
-    is_new_v = active.astype(jnp.int32) * (1 - matched_v)
+    if solver == "lap":
+        n_valid = jnp.max(jnp.where(det_valid, row2 + 1, 0))
+        n_rows = jnp.where((p_cur == 0) | skip_all, 0, n_valid)
+        p = _lap_on_scratch(cost_scr, lane, n=n_rows, m=2 * m)
+
+        # col of each detection row (rows 0..k-1 all assigned: k <= m)
+        rowmatch = (p == row2 + 1) & (lane2 >= 1) & (lane2 <= 2 * m)
+        col_of_row = jnp.sum(jnp.where(rowmatch, lane2 - 1, 0), axis=1,
+                             keepdims=True)                 # (32, 1)
+        # diff_saved at the assigned (clipped) person column
+        tgt_lane = jnp.clip(col_of_row, 0, m - 1) + 1
+        diff_at = jnp.sum(jnp.where(lane2 == tgt_lane, diff_saved, 0.0),
+                          axis=1, keepdims=True)            # (32, 1)
+
+        matched_v = (active & (col_of_row < p_cur) &
+                     (diff_at < tag_threshold)).astype(jnp.int32)
+        is_new_v = active.astype(jnp.int32) * (1 - matched_v)
+    else:
+        # GREEDY assignment (solver="greedy"): rows arrive val-sorted
+        # from top-k; each takes the lowest-cost UNUSED person column
+        # (same rounded-cost + tie-bias ordering as the LAP within a
+        # row), accepted under the same unrounded diff < tag_threshold
+        # rule; a rejected column stays available.  All straight-line
+        # vector ops — no Dijkstra while-loops, whose ~1 us/iteration
+        # sequential depth is the single-image latency floor of the
+        # LAP path (VERDICT r3 item 3).  Optimal-vs-greedy divergence
+        # is possible on contended scenes; people/AP-level agreement
+        # is asserted in tests/test_decode.py on the minival-style
+        # fixtures, and the batch path keeps the exact LAP.
+        used = jnp.zeros((1, _LANES), jnp.bool_)
+        col_list, match_list = [], []
+        for r in range(k):
+            crow = cost[r:r + 1]                            # (1, 128)
+            cand = (lane >= 1) & (lane <= p_cur) & (~used)
+            masked = jnp.where(cand, crow, _INF)
+            cmin = jnp.min(masked)
+            l_at = jnp.min(jnp.where(masked == cmin, lane, _LANES))
+            d_at = jnp.sum(jnp.where(lane == l_at,
+                                     diff_saved[r:r + 1], 0.0))
+            m_r = (active[r, 0] & (cmin < BIG)
+                   & (d_at < tag_threshold))
+            used = used | (m_r & (lane == l_at))
+            col_list.append(jnp.where(m_r, l_at - 1, 2 * m))
+            match_list.append(m_r)
+        col_of_row = jnp.stack(
+            [c.astype(jnp.int32) for c in col_list])[:, None]
+        matched_v = jnp.stack(
+            [mm.astype(jnp.int32) for mm in match_list])[:, None]
+        col_of_row = jnp.pad(col_of_row, ((0, _ROWS - k), (0, 0)))
+        matched_v = jnp.pad(matched_v, ((0, _ROWS - k), (0, 0)))
+        is_new_v = active.astype(jnp.int32) * (1 - matched_v)
 
     tsum = [tsum_ref[:, dd, :] for dd in range(d)]
     slot_l = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
@@ -280,7 +316,8 @@ def _group_kernel(tag_ref, loc_ref, val_ref,
                   cost_scr,
                   *, k: int, m: int, d: int, p_max: int,
                   detection_threshold: float, tag_threshold: float,
-                  use_detection_val: bool, ignore_too_much: bool):
+                  use_detection_val: bool, ignore_too_much: bool,
+                  solver: str = "lap"):
     j_step = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
@@ -297,12 +334,13 @@ def _group_kernel(tag_ref, loc_ref, val_ref,
                 detection_threshold=detection_threshold,
                 tag_threshold=tag_threshold,
                 use_detection_val=use_detection_val,
-                ignore_too_much=ignore_too_much)
+                ignore_too_much=ignore_too_much, solver=solver)
 
 
 @partial(jax.jit, static_argnames=(
     "max_num_people", "detection_threshold", "tag_threshold",
-    "use_detection_val", "ignore_too_much", "p_max", "interpret"))
+    "use_detection_val", "ignore_too_much", "p_max", "interpret",
+    "solver"))
 def match_by_tag_kernel(tag_k: jax.Array, loc_k: jax.Array,
                         val_k: jax.Array,
                         max_num_people: int = 30,
@@ -311,12 +349,16 @@ def match_by_tag_kernel(tag_k: jax.Array, loc_k: jax.Array,
                         use_detection_val: bool = True,
                         ignore_too_much: bool = False,
                         p_max: int = 90,
-                        interpret: bool = False
+                        interpret: bool = False,
+                        solver: str = "lap"
                         ) -> Tuple[jax.Array, jax.Array]:
     """Batched grouping as one kernel launch.
 
     :param tag_k: (B, J, K, D); :param loc_k: (B, J, K, 2);
     :param val_k: (B, J, K).
+    :param solver: ``"lap"`` (exact, munkres-equal) or ``"greedy"``
+      (val-ordered nearest-unused-person; no sequential Dijkstra
+      depth — the single-image latency path, see ``_group_step``).
     :returns: (people (B, p_max, J, 3+D) f32, n_people (B,) i32).
     """
     b, j, k, d = tag_k.shape
@@ -339,7 +381,7 @@ def match_by_tag_kernel(tag_k: jax.Array, loc_k: jax.Array,
                    detection_threshold=detection_threshold,
                    tag_threshold=tag_threshold,
                    use_detection_val=use_detection_val,
-                   ignore_too_much=ignore_too_much)
+                   ignore_too_much=ignore_too_much, solver=solver)
 
     people, _, _, _, nppl = pl.pallas_call(
         kern,

@@ -397,3 +397,207 @@ def test_predictor_stream_matches_predict(rng):
         for a, b in zip(people, p1):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_int8_decode_on_trained_weights(tmp_path):
+    """int8 accuracy on TRAINED (not random) weights (VERDICT r3
+    item 5): fit a reduced-cfg teacher to ideal heatmaps+tags on a
+    synthetic fixture (spread joints, wide tag blobs), then hold the
+    int8 / int8-act packed paths to the f32 packed path at decode
+    level — heatmap closeness, NMS'd peak-set survival, and OKS-AP
+    delta.  A 150-step CPU fit cannot reach absolute decode quality
+    (the tiny model's tags stay soft), so the claims here are DELTA
+    claims — exactly what quantization can break; absolute golden-AP
+    validation stays asset-gated (scripts/validate_assets.py)."""
+    import json as _json
+    import os
+
+    import cv2
+    import optax
+
+    from rtpe_tpu.data import CocoDistillationDataset, HeatmapGenerator
+    from rtpe_tpu.decode import HeatmapParser
+    from rtpe_tpu.models import (
+        PoseHigherHRNet,
+        calibrate_act_scales,
+        pack_w48_params,
+        packed_forward,
+        quantize_packed,
+    )
+    from rtpe_tpu.models.hrnet import HRNetConfig, StageCfg
+    from rtpe_tpu.ops.resize import resize_bilinear
+
+    root = str(tmp_path)
+    h, w = 128, 160
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images", "val2017"), exist_ok=True)
+    rng0 = np.random.RandomState(0)
+    images, annotations = [], []
+    aid = 1
+    for i in range(2):
+        img_id = 1000 + i
+        fname = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(root, "images", "val2017", fname),
+                    (rng0.rand(h, w, 3) * 255).astype(np.uint8))
+        images.append({"id": img_id, "file_name": fname,
+                       "height": h, "width": w})
+        for p, (ox, oy) in enumerate(((20, 20), (95, 62))):
+            kps = []
+            for j in range(17):
+                kps += [ox + (j % 5) * 10, oy + (j // 5) * 12, 2]
+            annotations.append({
+                "id": aid, "image_id": img_id, "category_id": 1,
+                "keypoints": kps, "num_keypoints": 17, "iscrowd": 0,
+                "area": 2600.0, "bbox": [ox - 5, oy - 5, 52, 50],
+                "segmentation": [[ox - 5, oy - 5, ox + 45, oy - 5,
+                                  ox + 45, oy + 43, ox - 5, oy + 43]],
+            })
+            aid += 1
+    with open(os.path.join(root, "annotations",
+                           "person_keypoints_val2017.json"), "w") as f:
+        _json.dump({"images": images, "annotations": annotations,
+                    "categories": [{"id": 1, "name": "person",
+                                    "keypoints": ["k"] * 17}]}, f)
+    ds = CocoDistillationDataset(root, "val2017")
+
+    def render(joints, hw_):
+        gen = HeatmapGenerator(17, 2.0)
+        det = np.transpose(gen(joints, hw_), (1, 2, 0))
+        tag = np.zeros((*hw_, 17), np.float32)
+        for p, person in enumerate(joints):
+            for j in range(17):
+                x, y, vis = person[j]
+                if vis > 0:
+                    xi, yi = int(x), int(y)
+                    tag[max(0, yi - 8):yi + 9,
+                        max(0, xi - 8):xi + 9, j] = 2.0 * (p + 1)
+        return det, tag
+
+    small = HRNetConfig(
+        num_joints=17,
+        stage2=StageCfg(1, 2, "BASIC", (2, 2), (8, 16)),
+        stage3=StageCfg(2, 3, "BASIC", (2, 2, 2), (8, 16, 32)),
+        stage4=StageCfg(1, 4, "BASIC", (2, 2, 2, 2), (8, 16, 32, 64)),
+        deconv_chans=(17,), deconv_num_blocks=1)
+    model = PoseHigherHRNet(cfg=small, dtype=jnp.float32)
+
+    imgs, t_coarse, t_refined = [], [], []
+    for i in range(len(ds)):
+        s = ds[i]
+        det, tag = render(s["joints"], s["mask"].shape)
+        x = jnp.asarray(s["img"][None])
+        hm4 = resize_bilinear(jnp.asarray(det[None]), (h // 4, w // 4),
+                              align_corners=False)
+        tg4 = resize_bilinear(jnp.asarray(tag[None]), (h // 4, w // 4),
+                              align_corners=False)
+        hm2 = resize_bilinear(jnp.asarray(det[None]), (h // 2, w // 2),
+                              align_corners=False)
+        imgs.append(x)
+        t_coarse.append(jnp.concatenate([hm4, tg4], axis=-1))
+        t_refined.append(hm2)
+    xb = jnp.concatenate(imgs)
+    cb = jnp.concatenate(t_coarse)
+    rb = jnp.concatenate(t_refined)
+
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    tx = optax.adam(3e-3)
+    opt = tx.init(v["params"])
+
+    def loss_fn(params, stats):
+        (c, r), mut = model.apply(
+            {"params": params, "batch_stats": stats}, xb, train=True,
+            mutable=["batch_stats"])
+        l = (jnp.mean((c[..., :17] - cb[..., :17]) ** 2)
+             + 20.0 * jnp.mean((c[..., 17:] - cb[..., 17:]) ** 2)
+             + jnp.mean((r - rb) ** 2))
+        return l, mut["batch_stats"]
+
+    @jax.jit
+    def step(params, stats, opt):
+        (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), stats, opt, l
+
+    params, stats = v["params"], v["batch_stats"]
+    params, stats, opt, l0 = step(params, stats, opt)
+    l0 = float(l0)
+    # train to convergence, not to a step count: the 2-image adam fit
+    # plateaus at different steps across BLAS stacks, and the absolute
+    # loss scales with the (weighted) tag-target coverage — gate on
+    # improvement relative to the first step instead
+    for it in range(400):
+        params, stats, opt, l = step(params, stats, opt)
+        if it >= 150 and float(l) < 0.15 * l0:
+            break
+    assert float(l) < 0.3 * l0, \
+        f"fit did not converge: loss {float(l)} vs initial {l0}"
+
+    trained = {"params": params, "batch_stats": stats}
+    pk = pack_w48_params(trained, small, dtype=jnp.float32)
+    # the trained heatmap head must have real structure for the delta
+    # claims below to mean anything
+    _, r_chk = packed_forward(pk, imgs[0], small, dtype=jnp.float32)
+    assert float(r_chk[..., :17].max()) > 0.5
+
+    scales = calibrate_act_scales(pk, [x for x in imgs], small,
+                                  dtype=jnp.float32)
+    pkq = quantize_packed(pk, scales)
+    parser = HeatmapParser(num_joints=17, max_num_people=30,
+                           detection_threshold=0.25)
+
+    def decode_all(pkx, int8_act=False):
+        preds, pscores, hm_list, peak_list = [], [], [], []
+        for i in range(len(ds)):
+            c, r = packed_forward(pkx, imgs[i], small,
+                                  dtype=jnp.float32, int8_act=int8_act)
+            hms = r[..., :17].astype(jnp.float32)
+            tags = resize_bilinear(c[..., 17:].astype(jnp.float32),
+                                   hms.shape[1:3], align_corners=True)
+            val_k, loc_k, _ = parser.top_k(hms, tags)
+            peak_list.append((np.asarray(val_k[0]), np.asarray(loc_k[0])))
+            hw_ = ds[i]["mask"].shape
+            hms_up = resize_bilinear(hms, hw_, align_corners=True)
+            tags_up = resize_bilinear(tags, hw_, align_corners=True)
+            grouped, sc = parser.parse_batch(hms_up, tags_up)
+            preds.append([p for p in grouped[0]
+                          if np.asarray(p).size > 0])
+            pscores.append(sc[0])
+            hm_list.append(np.asarray(hms))
+        return preds, pscores, hm_list, peak_list
+
+    preds_f, sc_f, hm_f, pk_f = decode_all(pk)
+    stats_f = ds.evaluate(preds_f, sc_f)
+    for label, ia in (("int8", False), ("int8_act", True)):
+        preds_q, sc_q, hm_q, pk_q2 = decode_all(pkq, ia)
+        stats_q = ds.evaluate(preds_q, sc_q)
+        # (1) heatmaps stay bounded on trained structure.  The bounds
+        # are loose by design: this 8-16-32-64-channel proxy amplifies
+        # per-channel int8 noise far beyond the 48-384-channel W48
+        # (fewer channels -> less averaging; 2-image BN stats); the
+        # decode-level asserts below are the actual claim
+        for a, b in zip(hm_f, hm_q):
+            err = np.abs(a - b)
+            mx = np.abs(a).max() + 1e-9
+            rel, p99 = err.max() / mx, np.percentile(err, 99) / mx
+            assert rel <= 0.9 and p99 <= 0.25, (label, rel, p99)
+        # (2) the NMS'd peak set survives quantization: bf16-strongest
+        # 10 peaks per joint found within 2 px by the quantized path
+        for (rv, rl), (qv, ql) in zip(pk_f, pk_q2):
+            matched = total = 0
+            for j in range(rl.shape[0]):
+                order = np.argsort(rv[j])[::-1][:10]
+                for i2 in order:
+                    total += 1
+                    d = np.abs(ql[j] - rl[j, i2][None]).max(axis=1)
+                    if (d <= 2).any():
+                        matched += 1
+            assert matched / total >= 0.8, (label, matched / total)
+        # (3) the OKS-AP DELTA is bounded (both paths decode the same
+        # trained maps; absolute AP of the 150-step fit is low and not
+        # the claim here)
+        for key in ("AP", "Ap .5"):
+            assert abs(stats_q[key] - stats_f[key]) <= 0.1, (
+                label, key, stats_q[key], stats_f[key])
