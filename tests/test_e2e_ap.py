@@ -176,8 +176,10 @@ def test_crowded_tied_scene_fused_vs_host_ap(tmp_path):
     ds = CocoDistillationDataset(root, "val2017")
     parser = HeatmapParser(num_joints=17, max_num_people=30)
 
+    from rtpe_tpu.decode.fused import decode_full
+
     stats = {}
-    for mode in ("host", "fused"):
+    for mode in ("host", "fused", "greedy"):
         all_preds, all_scores = [], []
         for i in range(len(ds)):
             s = ds[i]
@@ -188,14 +190,25 @@ def test_crowded_tied_scene_fused_vs_host_ap(tmp_path):
             dj, tj = jnp.asarray(det[None]), jnp.asarray(tag[None])
             if mode == "host":
                 grouped, scores = parser.parse(dj, tj, on_device=False)
-            else:
+            elif mode == "fused":
                 grouped, scores = parser.parse_fused(dj, tj)
+            else:
+                # the greedy mega-kernel (single-image auto path on
+                # TPU, VERDICT r3 item 3): people-level claim is
+                # AP-level equality on exactly this tie-prone regime
+                ppl, n, sc = decode_full(dj, tj,
+                                         lap="greedy_interpret")
+                n = int(n)
+                grouped = [[np.asarray(ppl[k]) for k in range(n)]]
+                scores = [float(s_) for s_ in np.asarray(sc[:n])]
             people = [p for p in grouped[0] if np.asarray(p).size > 0]
             all_preds.append(people)
             all_scores.append(scores)
         stats[mode] = ds.evaluate(all_preds, all_scores)
 
     assert stats["host"]["Ap .5"] > 0.5  # the scene is decodable at all
-    assert abs(stats["fused"]["AP"] - stats["host"]["AP"]) <= 0.05, stats
-    assert abs(stats["fused"]["Ap .5"] - stats["host"]["Ap .5"]) <= 0.05, \
-        stats
+    for mode in ("fused", "greedy"):
+        assert abs(stats[mode]["AP"] - stats["host"]["AP"]) <= 0.05, \
+            (mode, stats)
+        assert abs(stats[mode]["Ap .5"] - stats["host"]["Ap .5"]) \
+            <= 0.05, (mode, stats)
