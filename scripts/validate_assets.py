@@ -207,8 +207,14 @@ def step_teacher_coco_ap(res, args):
         "/root/reference/assets", "coco_minival2017_100.txt")
     variants = [
         ("simplified", [], GOLDEN_SIMPLIFIED_AP),
-        ("flip_tta", ["--flip"], GOLDEN_FLIP_TTA_AP),
+        ("flip_tta", ["--flip", "--batch_size", "1"],
+         GOLDEN_FLIP_TTA_AP),
+        # batched TTA (round 4: flip as a doubled leading axis) must
+        # reproduce the bs=1 flip AP exactly — cross-checked below
+        ("flip_tta_batched", ["--flip", "--batch_size", "8"],
+         GOLDEN_FLIP_TTA_AP),
         ("int8", ["--int8"], GOLDEN_SIMPLIFIED_AP),
+        ("int8_act", ["--int8", "--int8_act"], GOLDEN_SIMPLIFIED_AP),
     ]
     baseline_ap = {}
     for name, extra, golden in variants:
@@ -240,6 +246,65 @@ def step_teacher_coco_ap(res, args):
         delta = baseline_ap["simplified"] - baseline_ap["int8"]
         res.record("int8_ap_delta", abs(delta) <= 0.02,
                    f"bf16->int8 AP delta {delta:+.3f}")
+    if "simplified" in baseline_ap and "int8_act" in baseline_ap:
+        delta = baseline_ap["simplified"] - baseline_ap["int8_act"]
+        res.record("int8_act_ap_delta", abs(delta) <= 0.03,
+                   f"bf16->int8_act AP delta {delta:+.3f}")
+    if "flip_tta" in baseline_ap and "flip_tta_batched" in baseline_ap:
+        delta = baseline_ap["flip_tta"] - baseline_ap["flip_tta_batched"]
+        res.record("tta_batched_equals_bs1", abs(delta) <= 0.005,
+                   f"bs1 vs batched flip-TTA AP delta {delta:+.3f}")
+
+
+def step_greedy_decode_parity(res, args, teacher):
+    """Greedy-vs-exact grouping on REAL teacher outputs (round 4: the
+    single-image TPU decode path is the greedy mega-kernel).  Decodes
+    the bundled sample images through decode_full with lap='greedy'
+    and lap='xla' and records people-table agreement; on TPU this also
+    compile-validates the greedy kernel on real hardware."""
+    if teacher is None:
+        res.skip("greedy_decode_parity", "needs the statedict")
+        return
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode.fused import decode_full
+    from rtpe_tpu.ops.resize import resize_bilinear
+
+    model, variables = teacher
+    imgs = sorted(glob.glob(os.path.join(args.data_dir, "*.jpg")))
+    if not imgs:
+        res.skip("greedy_decode_parity", "no data/*.jpg")
+        return
+    from PIL import Image
+
+    from rtpe_tpu.data.preprocess import (normalize_image,
+                                          resize_align_multi_scale)
+    on_tpu = jax.default_backend() == "tpu"
+    greedy = "greedy" if on_tpu else "greedy_interpret"
+    worst_people = 0
+    agree = True
+    for p in imgs[:2]:
+        img = np.asarray(Image.open(p).convert("RGB"), np.float32)
+        resized, _, _ = resize_align_multi_scale(img, 320, 1, 1)
+        x = jnp.asarray(normalize_image(resized / 255.0)[None])
+        coarse, refined = jax.jit(
+            lambda v, xx: model.apply(v, xx, train=False))(variables, x)
+        hms = refined[..., :17].astype(jnp.float32)
+        tags = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
+                               hms.shape[1:3], align_corners=True)
+        p_g, n_g, s_g = decode_full(hms, tags, lap=greedy)
+        p_x, n_x, s_x = decode_full(hms, tags, lap="xla")
+        worst_people = max(worst_people, abs(int(n_g) - int(n_x)))
+        if int(n_g) == int(n_x):
+            agree &= bool(np.allclose(np.asarray(p_g), np.asarray(p_x),
+                                      atol=1e-3))
+    res.record("greedy_decode_parity",
+               worst_people <= 1 and (worst_people > 0 or agree),
+               f"max people delta {worst_people}, tables "
+               f"{'agree' if agree else 'diverge'}")
 
 
 def main():
@@ -265,6 +330,7 @@ def main():
     res = Results()
     teacher = step_teacher_import(res, args)
     step_packed_parity(res, args, teacher)
+    step_greedy_decode_parity(res, args, teacher)
     step_decode_stack_ap(res, args)
     step_teacher_coco_ap(res, args)
 

@@ -60,6 +60,11 @@ def main():
                              "first val images (requires --packed); "
                              "quantized numerics — compare AP vs bf16 "
                              "before quoting results")
+    parser.add_argument("--int8_act", action="store_true",
+                        help="additionally store inter-layer "
+                             "activations int8 (requires --int8); "
+                             "the fastest serving path — coarser "
+                             "numerics than plain --int8")
     parser.add_argument("--ae_mode", default="full",
                         choices=["full", "first", "mean"],
                         help="associative-embedding ablations from the "
@@ -70,6 +75,8 @@ def main():
     args = parser.parse_args()
     if args.int8 and not args.packed:
         parser.error("--int8 requires --packed")
+    if args.int8_act and not args.int8:
+        parser.error("--int8_act requires --int8")
 
     import jax
     import jax.numpy as jnp
@@ -119,9 +126,11 @@ def main():
                 calib.append(normalize_image(r / 255.0)[None])
             scales_d = calibrate_act_scales(pk, calib, cfg)
             pk = jax.jit(lambda p: quantize_packed(p, scales_d))(pk)
-        fwd = jax.jit(lambda x: packed_forward(pk, x, cfg))
-        log.info("forward path: packed" + (" + int8" if args.int8
-                                           else " bf16"))
+        fwd = jax.jit(lambda x: packed_forward(
+            pk, x, cfg, int8_act=args.int8_act))
+        log.info("forward path: packed"
+                 + (" + int8_act" if args.int8_act
+                    else " + int8" if args.int8 else " bf16"))
     else:
         fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
         log.info("forward path: canonical")

@@ -460,7 +460,7 @@ def test_kernel_selfcheck_interpret_and_auto_demotion():
     assert fused.kernel_selfcheck(max_num_people=8, p_max=16,
                                   num_joints=4, d=1, interpret=True)
     # small shapes keep the interpret run cheap; the verdict is cached
-    key = (8, 16, 4, 1, True)
+    key = (8, 16, 4, 1, True, "lap")
     assert fused._SELFCHECK_CACHE[key] is True
     if jax.default_backend() != "tpu":
         assert fused._resolve_auto_lap(30, 90, 17, 1) == "xla"
