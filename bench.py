@@ -355,9 +355,13 @@ def section_train():
     from rtpe_tpu.train import (
         DistillConfig, DistillTrainState, make_distill_train_step)
 
+    # RTPE_BENCH_REMAT=0 turns off the CAM-block remat (recompute vs
+    # HBM-streaming of block internals in the backward; the step is
+    # bandwidth-bound so recompute is the production default)
+    remat = os.environ.get("RTPE_BENCH_REMAT", "1") != "0"
     student = AttentionStudentSteps(
         inplanes=80, num_heatmaps=17, ae_dims=0,
-        detach_att_for_det=True, dtype=jnp.bfloat16)
+        detach_att_for_det=True, dtype=jnp.bfloat16, remat=remat)
     bs, hw = 16, 450  # the reference's training size (even suffices)
     x0 = jnp.zeros((1, hw, hw, 3))
     sv = jax.jit(lambda: student.init(
@@ -694,14 +698,50 @@ def _result_json(headline, extra):
     }
 
 
+def _probe_devices(timeout_s=120):
+    """Device discovery in a throwaway child.  The tunneled TPU
+    backend can wedge INSIDE ``jax.devices()`` (client init hangs —
+    observed r4: even a trivial probe never returns), which would hang
+    the orchestrator itself before any section timeout fires.  Returns
+    (alive, platform)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(_FILE))
+        plat = (r.stdout.strip().splitlines() or [""])[-1]
+        return r.returncode == 0 and bool(plat), plat
+    except subprocess.TimeoutExpired:
+        return False, ""
+
+
 def main():
     import signal
 
-    import jax
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
+    # liveness gate: wait (bounded) for a wedged device tunnel to
+    # recover instead of hanging the orchestrator or burning every
+    # section's timeout against a dead backend
+    wait_budget = float(os.environ.get("RTPE_BENCH_WAIT_TPU_S", "900"))
+    t_wait0 = time.time()
+    while True:
+        alive, plat = _probe_devices()
+        if alive:
+            log(f"device platform: {plat}")
+            break
+        if time.time() - t_wait0 > wait_budget:
+            log(f"device discovery still wedged after "
+                f"{time.time() - t_wait0:.0f}s; proceeding anyway "
+                f"(sections are individually bounded)")
+            break
+        log("device discovery wedged; retrying in 60s")
+        time.sleep(60)
+    # r3's driver run lost the canonical section to the old 1200 s
+    # budget; every section is individually time-bounded and flushes
+    # per-metric, so a roomier default only spends time when sections
+    # are actually producing numbers
     deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "1200"))
+        os.environ.get("RTPE_BENCH_BUDGET_S", "2100"))
 
     headline = None
     extra = {}

@@ -145,6 +145,26 @@ def _frozen(x: jax.Array, trainable: bool) -> jax.Array:
     return x if trainable else jax.lax.stop_gradient(x)
 
 
+def _cam_cls(remat: bool):
+    """``ContextAwareModule``, optionally remat-wrapped.
+
+    With ``remat`` the backward pass recomputes each CAM block's
+    internals (residual/HDC/SE chains) instead of loading them from HBM
+    — only the block INPUT is saved.  The distillation train step is
+    HBM-bound at 15.4% of peak TFLOPs (BENCH_r03 ``train_*``), so
+    trading ~2x block-forward FLOPs for the activation store+load
+    traffic targets the binding resource.  Parameter trees are
+    identical either way (flax lifted transforms preserve scope paths);
+    gradients agree to numerical tolerance
+    (``tests/test_train.py::test_remat_step_matches_baseline``).
+    ``static_argnums=(2,)`` marks the python-bool ``train`` flag
+    (arg 0 is the module instance).
+    """
+    if not remat:
+        return ContextAwareModule
+    return nn.remat(ContextAwareModule, static_argnums=(2,))
+
+
 # #############################################################################
 # # STUDENTS
 # #############################################################################
@@ -266,18 +286,20 @@ class _CamPyramid(nn.Module):
     chans: int
     hdc_dilations: Sequence[int]
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hw = x.shape[1:3]
-        hi = ContextAwareModule(self.chans, self.hdc_dilations,
-                                dtype=self.dtype, name="hi")(x, train)
+        CAM = _cam_cls(self.remat)
+        hi = CAM(self.chans, self.hdc_dilations,
+                 dtype=self.dtype, name="hi")(x, train)
         mid_in = avg_pool(x, 3, 2, 1, count_include_pad=False)
-        mid = ContextAwareModule(self.chans, self.hdc_dilations,
-                                 dtype=self.dtype, name="mid")(mid_in, train)
+        mid = CAM(self.chans, self.hdc_dilations,
+                  dtype=self.dtype, name="mid")(mid_in, train)
         lo_in = avg_pool(mid, 3, 2, 1, count_include_pad=False)
-        lo = ContextAwareModule(self.chans, self.hdc_dilations,
-                                dtype=self.dtype, name="lo")(lo_in, train)
+        lo = CAM(self.chans, self.hdc_dilations,
+                 dtype=self.dtype, name="lo")(lo_in, train)
         lo_up = resize_nearest(lo, tuple(hw))
         return hi + lo_up + lo_up
 
@@ -350,6 +372,9 @@ class AttentionStudentSteps(nn.Module):
     # single backward pass.
     detach_att_for_det: bool = False
     dtype: Dtype = jnp.float32
+    # remat the CAM blocks (att pyramid + step0-2): backward recomputes
+    # block internals instead of streaming them from HBM (see _cam_cls)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, alt: jax.Array, out_hw=None,
@@ -389,7 +414,7 @@ class AttentionStudentSteps(nn.Module):
 
         # attention pyramid
         att = _CamPyramid(self.inplanes + 3, (1, 2, 3, 4), dtype=self.dtype,
-                          name="att")(s, train)
+                          remat=self.remat, name="att")(s, train)
         att = conv(1, 3, 1, 1, bias=True, dtype=self.dtype,
                    name="att_top")(att)
         att = att.astype(jnp.float32)
@@ -403,9 +428,9 @@ class AttentionStudentSteps(nn.Module):
         s = jnp.concatenate([s, alt_stem_out], axis=-1)  # 2*inplanes + 3
 
         for i in range(3):
-            s = ContextAwareModule(2 * self.inplanes + 3, (1, 2, 3),
-                                   dtype=self.dtype,
-                                   name=f"step{i}")(s, train)
+            s = _cam_cls(self.remat)(2 * self.inplanes + 3, (1, 2, 3),
+                                     dtype=self.dtype,
+                                     name=f"step{i}")(s, train)
         det = conv(self.num_heatmaps + self.ae_dims, 3, 1, 1, bias=True,
                    dtype=self.dtype, name="det_top")(s)
         return att, det

@@ -59,6 +59,15 @@ def parse_args():
                         "stay fp32 — which halves the HBM-bound "
                         "step's activation traffic (~2x step rate on "
                         "TPU; see BENCH train extras)")
+    p.add_argument("--no_remat", dest="remat", action="store_false",
+                   default=True,
+                   help="disable CAM-block rematerialization.  The "
+                        "default recomputes block internals in the "
+                        "backward pass instead of streaming them from "
+                        "HBM — the step is bandwidth-bound, the MXU "
+                        "is mostly idle, so recompute is cheaper than "
+                        "the activation traffic (models/students.py "
+                        "_cam_cls)")
     p.add_argument("--num_epochs", type=int, default=20000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--train_hw", type=int, nargs=2, default=[450, 450])
@@ -125,7 +134,7 @@ def main():
         model = AttentionStudentSteps(
             inplanes=args.inplanes, num_heatmaps=args.num_heatmaps,
             ae_dims=args.ae_dims, detach_att_for_det=True,
-            dtype=jnp.bfloat16)
+            dtype=jnp.bfloat16, remat=args.remat)
         variables = model.init(jax.random.PRNGKey(0), x0, x0,
                                train=False)
     else:

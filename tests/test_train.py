@@ -365,3 +365,44 @@ def test_bn_bf16_step_trains_like_f32():
     assert bf16[-1] < bf16[0]  # it trains
     # loss curves agree within a few percent throughout
     np.testing.assert_allclose(bf16, f32, rtol=0.05)
+
+
+@pytest.mark.slow
+def test_remat_step_matches_baseline():
+    """CAM-block rematerialization (``AttentionStudentSteps(remat=
+    True)``, the production default of scripts/distillation.py) is a
+    pure schedule change: the parameter tree is identical, and one
+    train step produces the same losses and parameters as the
+    non-remat step to numerical tolerance (the backward recomputes
+    block internals instead of reloading them; VERDICT r3 item 2 —
+    the step is HBM-bound, so recompute targets the binding
+    resource)."""
+    model, variables, batch = _tiny_model_and_batch()
+    rmodel = model.clone(remat=True)
+    rvars = rmodel.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 32, 32, 3)), train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(rvars))
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(rvars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    cfg = DistillConfig()
+    s0 = DistillTrainState.create(variables, cfg)
+    s1 = DistillTrainState.create(rvars, cfg)
+    s0, m0 = make_distill_train_step(model, cfg)(s0, batch)
+    s1, m1 = make_distill_train_step(rmodel, cfg)(s1, batch)
+
+    np.testing.assert_allclose(float(m1["keypoints_loss"]),
+                               float(m0["keypoints_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["attention_loss"]),
+                               float(m0["attention_loss"]), rtol=1e-6)
+    f0 = flatten_dict(s0.params)
+    f1 = flatten_dict(s1.params)
+    for k in f0:
+        np.testing.assert_allclose(np.asarray(f1[k]),
+                                   np.asarray(f0[k]),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg="/".join(k))
