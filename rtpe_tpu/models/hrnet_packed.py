@@ -251,8 +251,12 @@ def quantize_packed(pk: PackedParams, act_scales: Dict[str, float]
         w_q, s_w = qt.quantize_weight(w)
         inv_sx = jnp.float32(127.0 / amax)
         alpha = (s_w * (amax / 127.0)).astype(jnp.float32)
+        inv_sy = None
+        out_amax = act_scales.get(f"{name}:out")
+        if out_amax is not None:
+            inv_sy = jnp.float32(127.0 / max(float(out_amax), 1e-6))
         out[name] = qt.QConv(kernel=w_q, bias=b.astype(jnp.float32),
-                             alpha=alpha, inv_sx=inv_sx)
+                             alpha=alpha, inv_sx=inv_sx, inv_sy=inv_sy)
     return out
 
 
@@ -325,7 +329,19 @@ def _apply(kind, x, wb, stride=1, pad=None, stride_w=1):
         x, w, strides, padding, lhs_dilation=dil,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    return y + b
+    y = y + b
+    if isinstance(wb, _CalibEntry) and "/fuse" in wb.name:
+        # fuse-layer convs feed an elementwise ADD, not another conv:
+        # record the OUTPUT range too, so int8-act can store these
+        # operands int8 with their own scale (QConv.inv_sy)
+        ay = jnp.abs(y)
+        oamax = (jnp.max(ay) if wb.q is None
+                 else jnp.quantile(ay.ravel(), wb.q / 100.0))
+        okey = wb.name + ":out"
+        oprev = wb.store.get(okey)
+        wb.store[okey] = (oamax if oprev is None
+                          else jnp.maximum(oprev, oamax))
+    return y
 
 
 def _conv(x, wb, stride=1, pad=None):
@@ -349,16 +365,29 @@ def _conv_pp(x, wb, **kw):
 # int8) is the remaining 2x bandwidth lever.
 
 
+# Optional trace-time census of materialized activations: set to a
+# list before tracing packed_forward and every _store appends
+# (consumer, shape, dtype) — shapes are static, so this is free and
+# exact.  Used by experiments/int8act_bytes.py to find which stored
+# tensors remain wide on the int8-act path (VERDICT r3 item 5).
+STORE_TAP = None
+
+
 def _store(pk, y, consumer, dtype, ia):
     """Materialize an activation: int8 (consumer's static scale) when
     int8-act storage is on and the consumer conv is quantized; else the
     model dtype."""
+    out = None
     if ia and consumer is not None:
         from ..ops import quant as qt
         wb = pk.get(consumer)
         if isinstance(wb, qt.QConv):
-            return qt.quantize_act(y, wb.inv_sx)
-    return y.astype(dtype)
+            out = qt.quantize_act(y, wb.inv_sx)
+    if out is None:
+        out = y.astype(dtype)
+    if STORE_TAP is not None:
+        STORE_TAP.append((consumer, tuple(y.shape), str(out.dtype)))
+    return out
 
 
 def _loadf(pk, x, consumer):
@@ -366,6 +395,27 @@ def _loadf(pk, x, consumer):
     if x.dtype == jnp.int8:
         return x.astype(jnp.float32) / pk[consumer].inv_sx
     return x
+
+
+def _operand(pk, y, name, dtype, ia):
+    """Materialize a fuse-layer operand: a conv result consumed by the
+    fuse ADD rather than by another conv.  On the int8-act path these
+    were the dominant remaining wide tensors (census:
+    ``experiments/int8act_bytes.py``); with the producing conv's own
+    calibrated OUTPUT scale (``QConv.inv_sy``) the operand is stored
+    int8 and the add reads it back dequantized — quantize fuses into
+    the conv epilogue, dequantize into the add chain, so only the int8
+    tensor hits HBM."""
+    if ia:
+        from ..ops import quant as qt
+        wb = pk.get(name)
+        if isinstance(wb, qt.QConv) and wb.inv_sy is not None:
+            q = qt.quantize_act(y, wb.inv_sy)
+            if STORE_TAP is not None:
+                STORE_TAP.append((name + ":out", tuple(y.shape),
+                                  str(q.dtype)))
+            return (q.astype(jnp.float32) / wb.inv_sy).astype(dtype)
+    return y.astype(dtype)
 
 
 def _basic_block(pk, name, x, dtype, packed, ia=False,
@@ -468,7 +518,8 @@ def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False,
             elif j > i:
                 # 1x1 conv + nearest upsample as one repeat-tconv kernel
                 wb = pk[f"{pfx}/fuse{i}_{j}"]
-                y = _apply("fuseup", ys[j], wb).astype(dtype)
+                y = _operand(pk, _apply("fuseup", ys[j], wb),
+                             f"{pfx}/fuse{i}_{j}", dtype, ia)
             else:
                 y = ys[j]
                 for k in range(i - j):
@@ -478,9 +529,11 @@ def _module(pk, pfx, scfg, xs, mso, dtype, pallas_chains=False,
                         y = _apply("pu", y, wb)
                     else:
                         y = _conv(y, wb, stride=2)
-                    y = y.astype(dtype)
-                    if not last:
-                        y = jax.nn.relu(y)
+                    if last:
+                        y = _operand(pk, y, f"{pfx}/fuse{i}_{j}_{k}",
+                                     dtype, ia)
+                    else:
+                        y = jax.nn.relu(y.astype(dtype))
                         if ia:
                             y = _store(pk, y,
                                        f"{pfx}/fuse{i}_{j}_{k + 1}",

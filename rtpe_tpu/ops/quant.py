@@ -23,7 +23,7 @@ reference serves fp16 (``rtpe/fp16_utils``); int8 is this framework's
 opt-in step further — the bf16 path remains the parity surface.
 """
 
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,11 +32,20 @@ __all__ = ["QConv", "quantize_weight", "quantize_act", "qconv"]
 
 
 class QConv(NamedTuple):
-    """A quantized conv layer: int8 kernel + dequant scales + f32 bias."""
+    """A quantized conv layer: int8 kernel + dequant scales + f32 bias.
+
+    ``inv_sy`` (optional) is the OUTPUT tensor's inverse scale
+    (127 / output_absmax), calibrated only for fuse-layer convs whose
+    results feed an elementwise accumulation rather than another conv:
+    with it, ``packed_forward(int8_act=True)`` stores those operands
+    int8 too (the census in ``experiments/int8act_bytes.py`` showed
+    they were the dominant remaining bf16 traffic on the int8-act
+    path)."""
     kernel: jax.Array      # int8, HWIO
     bias: jax.Array        # f32, (cout,)
     alpha: jax.Array       # f32, (cout,): s_x * s_w dequant factor
     inv_sx: jax.Array      # f32, scalar: 127 / act_absmax
+    inv_sy: Any = None     # f32 scalar or None: 127 / out_absmax
 
 
 def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:

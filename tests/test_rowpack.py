@@ -216,7 +216,12 @@ def test_w48_int8_quantized_forward(rng):
 
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 96, 3))
     scales = calibrate_act_scales(pk, [x], cfg, dtype=jnp.float32)
-    assert len(scales) == len(pk)
+    # one input scale per conv, plus ":out" OUTPUT scales for the
+    # fuse-layer convs (their results feed adds, not convs — int8-act
+    # stores those operands int8 with their own scale, QConv.inv_sy)
+    assert all(name in scales for name in pk)
+    out_keys = [k for k in scales if k.endswith(":out")]
+    assert out_keys and all(k[:-4] in pk for k in out_keys)
     assert all(s > 0 for s in scales.values())
 
     fc, fr = packed_forward(pk, x, cfg, dtype=jnp.float32)
