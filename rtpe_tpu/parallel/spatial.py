@@ -215,10 +215,14 @@ def spatial_forward_w48(fw, x: jax.Array, mesh: Mesh,
         y1 = conv(xh, "final_1")
         return y0, y1
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, axis_name), P()),
-        out_specs=(P(None, axis_name), P(None, axis_name)))
+        out_specs=(P(None, axis_name), P(None, axis_name))))
+    # jit (rather than eager shard_map dispatch) so the whole sharded
+    # forward is ONE cacheable XLA program: the persistent compile
+    # cache can then serve the ~11-minute CPU compile in seconds
+    # (dryrun real-cfg attempt), and XLA fuses across block boundaries
     return fn(shard_spatial(x.astype(jnp.float32), mesh, axis_name), fw)
 
 
