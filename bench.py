@@ -417,7 +417,9 @@ def section_train():
         times.append(time.time() - t0)
     img_s = bs * SCAN_LEN / min(times)
     log(f"train step: {img_s:.1f} img/s (bs16 @{hw})")
-    out = {"distill_step_img_s_bs16_450": round(img_s, 1)}
+    out = {"distill_step_img_s_bs16_450": round(img_s, 1),
+           "train_config": ("bn=" + ("f32" if bn is None else "bf16")
+                            + (",remat" if remat else ""))}
     out.update(_efficiency_extras(img_s, cost, "train"))
     return out
 
