@@ -284,8 +284,17 @@ def step_greedy_decode_parity(res, args, teacher):
                                           resize_align_multi_scale)
     on_tpu = jax.default_backend() == "tpu"
     greedy = "greedy" if on_tpu else "greedy_interpret"
+
+    # Gate on BOUNDED SUBOPTIMALITY, not membership: on tie-heavy tag
+    # fields (and any random-init teacher, where tags are pure noise)
+    # greedy and optimal assignments legitimately group different —
+    # equally plausible — people; what must hold on ANY weights is
+    # that greedy captures (nearly) the same detection mass the exact
+    # LAP does, and finds the same number of people.  Person-level AP
+    # agreement on realistic scenes is tests/test_e2e_ap.py's job, and
+    # decode_stack_minival_ap covers end-AP once COCO mounts.
     worst_people = 0
-    agree = True
+    worst_ratio = 1.0
     for p in imgs[:2]:
         img = np.asarray(Image.open(p).convert("RGB"), np.float32)
         resized, _, _ = resize_align_multi_scale(img, 320, 1, 1)
@@ -298,13 +307,16 @@ def step_greedy_decode_parity(res, args, teacher):
         p_g, n_g, s_g = decode_full(hms, tags, lap=greedy)
         p_x, n_x, s_x = decode_full(hms, tags, lap="xla")
         worst_people = max(worst_people, abs(int(n_g) - int(n_x)))
-        if int(n_g) == int(n_x):
-            agree &= bool(np.allclose(np.asarray(p_g), np.asarray(p_x),
-                                      atol=1e-3))
+        mass_g = float(np.clip(np.asarray(p_g)[:int(n_g), :, 2],
+                               0, None).sum())
+        mass_x = float(np.clip(np.asarray(p_x)[:int(n_x), :, 2],
+                               0, None).sum())
+        worst_ratio = min(worst_ratio,
+                          mass_g / max(mass_x, 1e-6))
     res.record("greedy_decode_parity",
-               worst_people <= 1 and (worst_people > 0 or agree),
-               f"max people delta {worst_people}, tables "
-               f"{'agree' if agree else 'diverge'}")
+               worst_people <= 1 and worst_ratio >= 0.95,
+               f"max people delta {worst_people}, grouped-mass ratio "
+               f"greedy/exact {worst_ratio:.3f}")
 
 
 def main():
