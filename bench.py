@@ -707,9 +707,12 @@ def _probe_devices(timeout_s=120):
     the orchestrator itself before any section timeout fires.  Returns
     (alive, platform)."""
     try:
+        # rtpe_tpu first: it applies RTPE_PLATFORM via the config API
+        # (env vars alone are clobbered by sitecustomize), so tests can
+        # point the probe at CPU while the driver probes the real chip
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+             "import rtpe_tpu, jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(_FILE))
         plat = (r.stdout.strip().splitlines() or [""])[-1]

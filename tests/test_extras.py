@@ -321,3 +321,26 @@ def test_dynamic_loss_scaled_step_matches_unscaled_and_skips_overflow():
         else:
             np.testing.assert_array_equal(b, a)
     assert n_int >= 1  # the schedule count exists and advanced
+
+
+def test_bench_device_probe_detects_cpu():
+    """bench.py's orchestrator liveness gate (the tunneled TPU backend
+    can wedge INSIDE jax.devices(), r4): the subprocess probe must
+    report alive on a healthy backend and never hang the caller."""
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "bench", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    _os.environ.setdefault("RTPE_PLATFORM", "cpu")
+    old = dict(_os.environ)
+    _os.environ["JAX_PLATFORMS"] = "cpu"
+    _os.environ["RTPE_PLATFORM"] = "cpu"
+    try:
+        alive, plat = bench._probe_devices(timeout_s=120)
+    finally:
+        _os.environ.clear()
+        _os.environ.update(old)
+    assert alive and plat == "cpu", (alive, plat)
