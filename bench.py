@@ -320,7 +320,14 @@ def section_int8act():
     if os.path.exists(scales_path):
         with open(scales_path) as f:
             scales = json.load(f)
-        if set(scales) != set(pk):
+        # stale-cache guard: the conv-input scales must cover pk
+        # exactly AND the fuse-layer OUTPUT scales (":out" keys, r4 —
+        # they arm QConv.inv_sy int8 operand storage) must be present;
+        # a pre-r4 file passed the key check and silently benched with
+        # the operand-int8 path disarmed
+        conv_keys = {k for k in scales if not k.endswith(":out")}
+        if conv_keys != set(pk) or not any(
+                k.endswith(":out") for k in scales):
             scales = None
     if scales is None:
         scales = calibrate_act_scales(
@@ -499,9 +506,13 @@ def section_decode_fused1():
             flush_metric({"decode_device_p50_ms_320": round(dev_ms, 2),
                           "decode_device_lap": lap})
             return dict(_PARTIAL)
-        except _CompileTimeout as e:
-            log(f"decode_fused1 lap={lap}: {e}; trying next rung")
-    raise RuntimeError("all lap rungs timed out compiling")
+        except Exception as e:  # a Mosaic lowering error must degrade
+            # the rung exactly like a wedged compile (r4: the greedy
+            # kernel's first TPU contact died in lowering, and the
+            # narrow _CompileTimeout catch lost the whole section)
+            log(f"decode_fused1 lap={lap}: {type(e).__name__}: {e}; "
+                f"trying next rung")
+    raise RuntimeError("all lap rungs failed")
 
 
 def section_decode_fused32():
@@ -553,9 +564,10 @@ def section_decode_fused32():
                 "decode_device_batch_lap": lap,
             })
             return dict(_PARTIAL)
-        except _CompileTimeout as e:
-            log(f"decode_fused32 lap={lap}: {e}; trying next rung")
-    raise RuntimeError("all lap rungs timed out compiling")
+        except Exception as e:
+            log(f"decode_fused32 lap={lap}: {type(e).__name__}: {e}; "
+                f"trying next rung")
+    raise RuntimeError("all lap rungs failed")
 
 
 def section_decode_host():

@@ -235,6 +235,10 @@ def _group_step(tags, locs, vals,
         # is asserted in tests/test_decode.py on the minival-style
         # fixtures, and the batch path keeps the exact LAP.
         used = jnp.zeros((1, _LANES), jnp.bool_)
+        # Mosaic cannot extract a BOOL scalar from a vector ("only
+        # arrays with 32-bit element types can be converted to
+        # scalars") — read the int32 view and compare instead
+        active_i = active.astype(jnp.int32)                 # (32, 1)
         col_list, match_list = [], []
         for r in range(k):
             crow = cost[r:r + 1]                            # (1, 128)
@@ -244,7 +248,7 @@ def _group_step(tags, locs, vals,
             l_at = jnp.min(jnp.where(masked == cmin, lane, _LANES))
             d_at = jnp.sum(jnp.where(lane == l_at,
                                      diff_saved[r:r + 1], 0.0))
-            m_r = (active[r, 0] & (cmin < BIG)
+            m_r = ((active_i[r, 0] != 0) & (cmin < BIG)
                    & (d_at < tag_threshold))
             used = used | (m_r & (lane == l_at))
             col_list.append(jnp.where(m_r, l_at - 1, 2 * m))
