@@ -362,10 +362,11 @@ def section_train():
     from rtpe_tpu.train import (
         DistillConfig, DistillTrainState, make_distill_train_step)
 
-    # RTPE_BENCH_REMAT=0 turns off the CAM-block remat (recompute vs
-    # HBM-streaming of block internals in the backward; the step is
-    # bandwidth-bound so recompute is the production default)
-    remat = os.environ.get("RTPE_BENCH_REMAT", "1") != "0"
+    # RTPE_BENCH_REMAT=1 opts into the CAM-block remat — measured dead
+    # end on the chip (r4 ablation: 266 vs 337 img/s, bytes/img
+    # 2.25 -> 2.66; the recompute re-reads each block's big inputs
+    # while XLA already keeps the cheap internals out of HBM)
+    remat = os.environ.get("RTPE_BENCH_REMAT", "0") == "1"
     student = AttentionStudentSteps(
         inplanes=80, num_heatmaps=17, ae_dims=0,
         detach_att_for_det=True, dtype=jnp.bfloat16, remat=remat)

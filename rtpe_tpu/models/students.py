@@ -150,10 +150,14 @@ def _cam_cls(remat: bool):
 
     With ``remat`` the backward pass recomputes each CAM block's
     internals (residual/HDC/SE chains) instead of loading them from HBM
-    — only the block INPUT is saved.  The distillation train step is
-    HBM-bound at 15.4% of peak TFLOPs (BENCH_r03 ``train_*``), so
-    trading ~2x block-forward FLOPs for the activation store+load
-    traffic targets the binding resource.  Parameter trees are
+    — only the block INPUT is saved.  MEASURED DEAD END on the real
+    chip for the HBM-bound distillation step (r4 ablation: 266 vs 337
+    img/s, bytes/img 2.25 -> 2.66): the recompute re-reads each
+    block's big input tensors while XLA's scheduling already keeps the
+    cheap internals out of HBM, so the trade adds traffic instead of
+    removing it.  Kept as an opt-in for memory-constrained configs
+    (bigger batches / resolutions, where saved-activation footprint,
+    not bandwidth, is the binding resource).  Parameter trees are
     identical either way (flax lifted transforms preserve scope paths);
     gradients agree to numerical tolerance
     (``tests/test_train.py::test_remat_step_matches_baseline``).
