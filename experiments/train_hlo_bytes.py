@@ -23,6 +23,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 _DTYPE_BYTES = {
     "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
     "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,

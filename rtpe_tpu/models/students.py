@@ -88,9 +88,11 @@ class SELayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pooled: bool = False) -> jax.Array:
         hidden = self.hidden_chans or self.chans // 4
-        y = global_avg_pool(x)  # (B, C)
+        # ``pooled``: x is already the (B, C) global average (the fused
+        # CAM kernel computes it in its first pass)
+        y = x if pooled else global_avg_pool(x)  # (B, C)
         y = nn.Dense(hidden, use_bias=True, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(y)
         y = nn.relu(y)
@@ -100,10 +102,50 @@ class SELayer(nn.Module):
         return y[:, None, None, :]
 
 
+class _ConvKernel(nn.Module):
+    """Declares (or at apply time reads) a conv kernel parameter with
+    ``nn.Conv``'s exact name, shape and initializer — used by the fused
+    CAM path to access weights without running the conv module."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNVars(nn.Module):
+    """Declares ``nn.BatchNorm``'s params/batch_stats under the same
+    names, for the fused CAM path (which computes the normalization
+    itself).  Returns (scale, bias, mean_var, var_var); the caller
+    updates the running stats."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.feats,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.feats,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", jnp.zeros,
+                             (self.feats,), jnp.float32)
+        var = self.variable("batch_stats", "var", jnp.ones,
+                            (self.feats,), jnp.float32)
+        return scale, bias, mean, var
+
+
 class ContextAwareModule(nn.Module):
     """PCR context-aware module (reference :145-201).
 
     out = relu( residual(x) + SE_gate(x) * HDC(x) ), channel-preserving.
+
+    ``fused=True`` routes train-mode batch applications through the
+    Pallas fused-CAM kernels (``ops/pallas_cam.py``): identical
+    parameter tree, same math with f32 stat/normalization arithmetic,
+    ~4x less HBM traffic on the roofline-bound distillation step.
+    Eval mode and initialization always use the unfused path.
     """
 
     chans: int
@@ -111,10 +153,13 @@ class ContextAwareModule(nn.Module):
     se_chans: Optional[int] = None
     hdc_chans: Optional[int] = None
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hdc_ch = self.hdc_chans or self.chans // 4
+        if self.fused and train and not self.is_initializing():
+            return self._fused_call(x, hdc_ch)
         # residual branch: 1x1 conv-bn-relu
         residual = conv(self.chans, 1, 1, 0, dtype=self.dtype,
                         name="residual_conv")(x)
@@ -139,6 +184,56 @@ class ContextAwareModule(nn.Module):
         out = (residual.astype(jnp.float32)
                + (y * gate).astype(jnp.float32))
         return nn.relu(out).astype(self.dtype)
+
+    def _fused_call(self, x: jax.Array, hdc_ch: int) -> jax.Array:
+        """Train-mode application through the fused Pallas kernels.
+
+        Reads the SAME parameters the unfused path creates (conv
+        kernels, BN scale/bias, BN running stats, the SE MLP) and
+        performs the running-stat updates flax's BatchNorm would."""
+        from ..models.layers import torch_bn_momentum
+        from ..ops.pallas_cam import fused_cam
+
+        dils = tuple(self.hdc_dilations)
+        c = self.chans
+        kr = _ConvKernel((1, 1, c, c), name="residual_conv")()
+        khs = [_ConvKernel((3, 3, c, hdc_ch), name=f"hdc{i}_conv")()
+               for i in range(len(dils))]
+        kt = _ConvKernel((1, 1, len(dils) * hdc_ch, c),
+                         name="hdc_top_conv")()
+        s_r, b_r, m_r, v_r = _BNVars(c, name="residual_bn")()
+        bnh = [_BNVars(hdc_ch, name=f"hdc{i}_bn")()
+               for i in range(len(dils))]
+        s_t, b_t, m_t, v_t = _BNVars(c, name="hdc_top_bn")()
+        se = SELayer(self.chans, self.se_chans, dtype=self.dtype,
+                     name="se")
+
+        def gate_fn(gap):
+            g = se(gap.astype(self.dtype), pooled=True)  # (B,1,1,C)
+            return g[:, 0, 0, :].astype(jnp.float32)
+
+        bf = jnp.bfloat16
+        out, stats = fused_cam(
+            x.astype(bf),
+            kr[0, 0].astype(bf),
+            jnp.stack([k.astype(bf) for k in khs]),
+            kt[0, 0].reshape(len(dils), hdc_ch, c).astype(bf),
+            scales={"r": s_r, "t": s_t,
+                    "h": jnp.stack([v[0] for v in bnh])},
+            biases={"r": b_r, "t": b_t,
+                    "h": jnp.stack([v[1] for v in bnh])},
+            gate_fn=gate_fn, dils=dils)
+
+        # flax BatchNorm's running-stat update (biased batch var)
+        mom = torch_bn_momentum()
+        m_r.value = mom * m_r.value + (1 - mom) * stats["r"][0]
+        v_r.value = mom * v_r.value + (1 - mom) * stats["r"][1]
+        m_t.value = mom * m_t.value + (1 - mom) * stats["t"][0]
+        v_t.value = mom * v_t.value + (1 - mom) * stats["t"][1]
+        for i, (_, _, mv, vv) in enumerate(bnh):
+            mv.value = mom * mv.value + (1 - mom) * stats["h"][0][i]
+            vv.value = mom * vv.value + (1 - mom) * stats["h"][1][i]
+        return out.astype(self.dtype)
 
 
 def _frozen(x: jax.Array, trainable: bool) -> jax.Array:
@@ -291,18 +386,20 @@ class _CamPyramid(nn.Module):
     hdc_dilations: Sequence[int]
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hw = x.shape[1:3]
         CAM = _cam_cls(self.remat)
-        hi = CAM(self.chans, self.hdc_dilations,
+        fused = self.fused and not self.remat
+        hi = CAM(self.chans, self.hdc_dilations, fused=fused,
                  dtype=self.dtype, name="hi")(x, train)
         mid_in = avg_pool(x, 3, 2, 1, count_include_pad=False)
-        mid = CAM(self.chans, self.hdc_dilations,
+        mid = CAM(self.chans, self.hdc_dilations, fused=fused,
                   dtype=self.dtype, name="mid")(mid_in, train)
         lo_in = avg_pool(mid, 3, 2, 1, count_include_pad=False)
-        lo = CAM(self.chans, self.hdc_dilations,
+        lo = CAM(self.chans, self.hdc_dilations, fused=fused,
                  dtype=self.dtype, name="lo")(lo_in, train)
         lo_up = resize_nearest(lo, tuple(hw))
         return hi + lo_up + lo_up
@@ -379,6 +476,10 @@ class AttentionStudentSteps(nn.Module):
     # remat the CAM blocks (att pyramid + step0-2): backward recomputes
     # block internals instead of streaming them from HBM (see _cam_cls)
     remat: bool = False
+    # route train-mode CAM applications through the fused Pallas
+    # kernels (ops/pallas_cam.py) — identical params, ~4x less HBM
+    # traffic on the roofline-bound train step; ignored under remat
+    fused_cam: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, alt: jax.Array, out_hw=None,
@@ -418,7 +519,8 @@ class AttentionStudentSteps(nn.Module):
 
         # attention pyramid
         att = _CamPyramid(self.inplanes + 3, (1, 2, 3, 4), dtype=self.dtype,
-                          remat=self.remat, name="att")(s, train)
+                          remat=self.remat, fused=self.fused_cam,
+                          name="att")(s, train)
         att = conv(1, 3, 1, 1, bias=True, dtype=self.dtype,
                    name="att_top")(att)
         att = att.astype(jnp.float32)
@@ -434,6 +536,8 @@ class AttentionStudentSteps(nn.Module):
         for i in range(3):
             s = _cam_cls(self.remat)(2 * self.inplanes + 3, (1, 2, 3),
                                      dtype=self.dtype,
+                                     fused=(self.fused_cam
+                                            and not self.remat),
                                      name=f"step{i}")(s, train)
         det = conv(self.num_heatmaps + self.ae_dims, 3, 1, 1, bias=True,
                    dtype=self.dtype, name="det_top")(s)
