@@ -367,9 +367,16 @@ def section_train():
     # 2.25 -> 2.66; the recompute re-reads each block's big inputs
     # while XLA already keeps the cheap internals out of HBM)
     remat = os.environ.get("RTPE_BENCH_REMAT", "0") == "1"
+    # RTPE_BENCH_FUSED_CAM=1 opts into the v1 fused Pallas CAM kernels
+    # (ops/pallas_cam.py) — measured dead end on the chip (r4): bytes
+    # drop 2.25 -> 0.93 GB/img (HBM 92.7% -> 8.9%) but the in-kernel
+    # conv recompute is N=hc-MXU-ceiling-bound: 78.4 vs 336.8 img/s
+    fused = (os.environ.get("RTPE_BENCH_FUSED_CAM", "0") == "1"
+             and not remat)
     student = AttentionStudentSteps(
         inplanes=80, num_heatmaps=17, ae_dims=0,
-        detach_att_for_det=True, dtype=jnp.bfloat16, remat=remat)
+        detach_att_for_det=True, dtype=jnp.bfloat16, remat=remat,
+        fused_cam=fused)
     bs, hw = 16, 450  # the reference's training size (even suffices)
     x0 = jnp.zeros((1, hw, hw, 3))
     sv = jax.jit(lambda: student.init(
@@ -427,7 +434,8 @@ def section_train():
     log(f"train step: {img_s:.1f} img/s (bs16 @{hw})")
     out = {"distill_step_img_s_bs16_450": round(img_s, 1),
            "train_config": ("bn=" + ("f32" if bn is None else "bf16")
-                            + (",remat" if remat else ""))}
+                            + (",remat" if remat else "")
+                            + (",fused_cam" if fused else ""))}
     out.update(_efficiency_extras(img_s, cost, "train"))
     return out
 

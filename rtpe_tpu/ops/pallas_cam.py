@@ -571,6 +571,8 @@ def _f1_call(x, kr, kh, dils):
                    jax.ShapeDtypeStruct((2 * nbr, hc), jnp.float32),
                    jax.ShapeDtypeStruct((b, c), jnp.float32)],
         scratch_shapes=[_xpad_scratch(h, w, c, m)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, kr, kh)
 
@@ -597,6 +599,8 @@ def _f1b_call(x, kr, kh, dsr, dsh, dgap, dils):
             pltpu.VMEM((_nb(h) * _BAND + 2 * m, _wp(w) + 2 * m,
                         nbr * hc), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, kr, kh, dsr, dsh, dgap)
     return dx, dkr, dkh
@@ -614,6 +618,8 @@ def _f2_call(x, kh, kt, bnh, dils):
         out_specs=[_whole((2, c))],
         out_shape=[jax.ShapeDtypeStruct((2, c), jnp.float32)],
         scratch_shapes=[_xpad_scratch(h, w, c, m)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, kh, kt, bnh)[0]
 
@@ -640,6 +646,8 @@ def _f2b_call(x, kh, kt, bnh, dst, dils):
             pltpu.VMEM((_nb(h) * _BAND + 2 * m, _wp(w) + 2 * m,
                         nbr * hc), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, kh, kt, bnh, dst)
 
@@ -658,6 +666,8 @@ def _f3_call(x, kr, kh, kt, bnr, bnh, bnt, gate, dils):
         out_specs=[_band_out(x.shape)],
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)],
         scratch_shapes=[_xpad_scratch(h, w, c, m)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, kr, kh, kt, bnr, bnh, bnt, gate)[0]
 
@@ -696,6 +706,8 @@ def _f3b_call(x, kr, kh, kt, bnr, bnh, bnt, gate, g, dils):
                         nbr * hc), jnp.bfloat16),
             pltpu.VMEM((_BAND, _wp(w), c), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, kr, kh, kt, bnr, bnh, bnt, gate, g)
 

@@ -71,6 +71,20 @@ def parse_args():
                         "266 vs 337 img/s, bytes/img 2.25 -> 2.66 "
                         "(models/students.py _cam_cls); kept as an "
                         "opt-in for memory-constrained configs")
+    p.add_argument("--fused_cam", dest="fused_cam", action="store_true",
+                   default=False,
+                   help="route train-mode CAM blocks through the fused "
+                        "Pallas forward/backward kernels "
+                        "(ops/pallas_cam.py): internals are recomputed "
+                        "in VMEM instead of materialized in HBM.  "
+                        "MEASURED DEAD END on the chip (r4): bytes/img "
+                        "2.25 -> 0.93 but 78.4 vs 336.8 img/s — the "
+                        "recomputed branch convs are MXU-lane-ceiling "
+                        "bound (hc=40 of 128 lanes); kept opt-in for "
+                        "memory-constrained configs (identical params, "
+                        "bf16-tolerance-identical gradients)")
+    p.add_argument("--no_fused_cam", dest="fused_cam",
+                   action="store_false")
     p.add_argument("--num_epochs", type=int, default=20000)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--train_hw", type=int, nargs=2, default=[450, 450])
@@ -137,7 +151,8 @@ def main():
         model = AttentionStudentSteps(
             inplanes=args.inplanes, num_heatmaps=args.num_heatmaps,
             ae_dims=args.ae_dims, detach_att_for_det=True,
-            dtype=jnp.bfloat16, remat=args.remat)
+            dtype=jnp.bfloat16, remat=args.remat,
+            fused_cam=args.fused_cam and not args.remat)
         variables = model.init(jax.random.PRNGKey(0), x0, x0,
                                train=False)
     else:
