@@ -410,8 +410,19 @@ def section_train():
             body, (state, batch), None, length=SCAN_LEN)
         return losses
 
+    # RTPE_SCOPED_VMEM_KIB raises XLA:TPU's scoped-VMEM budget for the
+    # step executable (the local client rejects TPU flags in XLA_FLAGS,
+    # but per-jit compiler_options travel with the compile request).
+    # The HLO byte census (experiments/train_hlo_bytes.py) shows ~45%
+    # of store traffic is XLA row-slicing the 256-lane-padded CAM
+    # tensors into 29-row chunks — a VMEM-budget-driven conv split.
+    copts = None
+    vk = os.environ.get("RTPE_SCOPED_VMEM_KIB")
+    if vk:
+        copts = {"xla_tpu_scoped_vmem_limit_kib": vk}
     t0 = time.time()
-    loop_c = jax.jit(train_loop).lower(state, batch).compile()
+    loop_c = jax.jit(train_loop, compiler_options=copts
+                     ).lower(state, batch).compile()
     jax.device_get(loop_c(state, batch))
     log(f"train step: compile+first {time.time() - t0:.1f}s")
     cost = {}
