@@ -111,3 +111,34 @@ def test_fused_eval_mode_uses_unfused_path(setup):
     out_f = fus.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(out_r, np.float32),
                                   np.asarray(out_f, np.float32))
+
+
+@pytest.mark.slow
+def test_fused_cam_full_student_grads_finite():
+    """``AttentionStudentSteps(fused_cam=True)`` composes end-to-end:
+    the jitted gradient of a full student forward (att pyramid at three
+    scales + step0-2, every CAM through the fused kernels) is finite,
+    and the parameter tree is identical to the unfused module's."""
+    from rtpe_tpu.models.students import AttentionStudentSteps
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.bfloat16)
+    alt = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.bfloat16)
+    m = AttentionStudentSteps(inplanes=16, fused_cam=True,
+                              dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x, alt, train=False)
+    m0 = AttentionStudentSteps(inplanes=16, dtype=jnp.bfloat16)
+    v0 = m0.init(jax.random.PRNGKey(0), x, alt, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v0))
+
+    def loss(p):
+        (att, det), _ = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            x, alt, train=True, mutable=["batch_stats"])
+        return (jnp.mean(jnp.square(det.astype(jnp.float32)))
+                + jnp.mean(att.astype(jnp.float32) ** 2))
+
+    g = jax.jit(jax.grad(loss))(v["params"])
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        assert bool(jnp.all(jnp.isfinite(leaf))), path
