@@ -159,8 +159,16 @@ def _scan_throughput(fwd, args0, bs, hw, reps=3, in_ch=3,
 
     x = jax.random.normal(jax.random.PRNGKey(1), (bs, hw, hw, in_ch),
                           jnp.float32)
+    # Serving sections default to a 64 MB scoped-VMEM budget: measured
+    # +4.7% on the bf16 packed headline (332.6 -> 348.3 img/s, compile
+    # 269 -> 119 s; 128 MB gives +6% but risks the section timeout on a
+    # cold compile service).  RTPE_SCOPED_VMEM_KIB overrides; empty
+    # disables.  TPU-only: the option is rejected elsewhere.
+    from rtpe_tpu.utils.compile import serving_compiler_options
+    copts = serving_compiler_options()
     t0 = time.time()
-    loop_c = jax.jit(loop).lower(args0, x).compile()
+    loop_c = jax.jit(loop, compiler_options=copts
+                     ).lower(args0, x).compile()
     jax.device_get(loop_c(args0, x))
     log(f"  compile+first {time.time() - t0:.1f}s")
     if cost_out is not None:

@@ -155,12 +155,16 @@ class PosePredictor:
                 # one jitted program (per-layer dispatches are slow on
                 # remote backends)
                 pk = jax.jit(lambda p: quantize_packed(p, scales_d))(pk)
+            from ..utils.compile import serving_compiler_options
             self._fwd = jax.jit(
                 lambda x: packed_forward(pk, x, cfg,
-                                         int8_act=int8_act))
+                                         int8_act=int8_act),
+                compiler_options=serving_compiler_options())
         else:
+            from ..utils.compile import serving_compiler_options
             self._fwd = jax.jit(
-                lambda x: model.apply(variables, x, train=False))
+                lambda x: model.apply(variables, x, train=False),
+                compiler_options=serving_compiler_options())
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
