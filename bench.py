@@ -76,6 +76,7 @@ SECTION_TIMEOUT = {
     "decode_fused32": 420,
     "decode_host": 300,
     "canonical": 360,
+    "tta": 420,
 }
 
 # Where the running section flushes each metric as it lands (set in
@@ -665,6 +666,31 @@ def section_canonical():
     return out
 
 
+def section_tta():
+    """Flip-TTA packed forward (SURVEY §5.7 / VERDICT r3 item 4): flip
+    rides as a doubled leading axis in ONE dispatch, so the per-IMAGE
+    rate must land within 2x of the non-TTA packed rate (two model
+    forwards per image + the flip_back/aggregation epilogue)."""
+    import jax
+
+    from rtpe_tpu.eval.tta import tta_forward
+    from rtpe_tpu.models import pack_w48_params, packed_forward
+
+    cfg, model, variables = _teacher_setup()
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    bs = 64  # doubled to 128 inside tta_forward — the headline batch
+    log(f"flip-TTA packed forward bs={bs} (dispatch 2x{bs}):")
+    cost = {}
+    img_s = _scan_throughput(
+        lambda a, x: tta_forward(
+            lambda b: packed_forward(a, b, cfg), x, with_flip=True),
+        pk, bs, 640, cost_out=cost)
+    log(f"  {img_s:.1f} img/s (flip TTA)")
+    out = {"tta_flip_img_s_bs64": round(img_s, 1)}
+    out.update(_efficiency_extras(img_s, cost, "tta"))
+    return out
+
+
 SECTIONS = {
     "headline": section_headline,
     "int8": section_int8,
@@ -674,6 +700,7 @@ SECTIONS = {
     "decode_fused32": section_decode_fused32,
     "decode_host": section_decode_host,
     "canonical": section_canonical,
+    "tta": section_tta,
 }
 
 
@@ -827,7 +854,8 @@ def main():
     # (VERDICT r3 item 1(d)) so a slow compile service cuts the
     # showcase, not the asked-for numbers
     for name in ("train", "decode_fused1", "decode_fused32",
-                 "decode_host", "int8act", "int8", "canonical"):
+                 "decode_host", "int8act", "int8", "canonical",
+                 "tta"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
