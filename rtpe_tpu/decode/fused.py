@@ -90,20 +90,24 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
 
 def _resolve_auto_lap(max_num_people: int, p_max: int, num_joints: int,
                       d: int, single_image: bool = False) -> str:
-    """``single_image=True`` prefers the greedy solver: the exact LAP's
-    sequential Dijkstra depth is the blocking-latency floor (9.6 ms at
-    320px crowded-noise scenes vs the <=5 ms target), while the greedy
-    kernel is straight-line vector code.  Batched decode keeps the
-    exact LAP — its depth amortizes across lockstep lanes."""
+    """``auto`` prefers the GREEDY mega-kernel solver for both entry
+    points: the exact LAP's sequential Dijkstra depth is the latency
+    floor in either shape — single-image 9.6 vs 4.6 ms at 320px
+    crowded-noise scenes, and batch-32 5.55 vs 2.07 ms/img (r4
+    measurement; the lockstep lanes amortize the LAP's depth far less
+    than assumed because every lane still walks the worst lane's
+    augmenting paths).  Greedy is straight-line vector code with
+    people/AP-level parity asserted on the tie-prone fixtures
+    (tests/test_e2e_ap.py, tests/test_decode.py); the exact solver
+    stays reachable with ``lap="kernel"``.  ``single_image`` only
+    selects which solver the one-time self-check compiles."""
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = on_tpu and _kernel_fits(max_num_people,
                                          max_num_people, p_max)
-    want = "greedy" if single_image else "kernel"
     if use_kernel and os.environ.get("RTPE_LAP_SELFCHECK", "1") != "0":
         use_kernel = kernel_selfcheck(
-            max_num_people, p_max, num_joints, d,
-            solver="greedy" if single_image else "lap")
-    return want if use_kernel else ("pallas" if on_tpu else "xla")
+            max_num_people, p_max, num_joints, d, solver="greedy")
+    return "greedy" if use_kernel else ("pallas" if on_tpu else "xla")
 
 
 @partial(jax.jit, static_argnames=(
@@ -220,9 +224,12 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
     :param lap: grouping solver (see :func:`decode_full`).  ``"auto"``
       picks the grouping mega-kernel on TPU: the ``grid=(B, J)``
       ``pallas_call`` groups the WHOLE batch in one launch (cost
-      build + LAP + people-table update all in VMEM), replacing the
-      ~510 small XLA ops/joint of the vmapped scan tail — measured
-      1.7 ms/img at B=8 vs 6.3 ms/img for the per-joint LAP scan.
+      build + assignment + people-table update all in VMEM),
+      replacing the ~510 small XLA ops/joint of the vmapped scan
+      tail, with the GREEDY solver — measured 2.07 ms/img at B=32
+      crowded vs 5.55 for the exact-LAP kernel and 6.3 for the
+      per-joint LAP scan (AP parity on tie-prone fixtures; force the
+      exact solver with ``lap="kernel"``).
     :returns: (people (B, p_max, J, 3+D), n_people (B,), scores
       (B, p_max)).
     """

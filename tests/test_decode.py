@@ -564,3 +564,27 @@ def test_decode_full_greedy_matches_xla_on_scenes():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_x),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_decode_full_batch_greedy_matches_xla_on_scenes():
+    """decode_full_batch with the greedy mega-kernel (the TPU ``auto``
+    pick since r4: 2.07 vs 5.55 ms/img at B=32 for the exact LAP)
+    equals the XLA-Hungarian batch decode end to end — people tables
+    AND scores, every image of a mixed-scene batch."""
+    from rtpe_tpu.decode.fused import decode_full_batch
+
+    det_b, tag_b = [], []
+    for seed in (0, 1, 2, 3):
+        det, tag = _make_scene(seed=seed, tag_per_joint=True)
+        det_b.append(det)
+        tag_b.append(tag)
+    j_det = jnp.asarray(np.stack(det_b))
+    j_tag = jnp.asarray(np.stack(tag_b))
+    p_x, n_x, s_x = decode_full_batch(j_det, j_tag, lap="xla")
+    p_g, n_g, s_g = decode_full_batch(j_det, j_tag,
+                                      lap="greedy_interpret")
+    np.testing.assert_array_equal(np.asarray(n_x), np.asarray(n_g))
+    np.testing.assert_allclose(np.asarray(p_g), np.asarray(p_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_x),
+                               rtol=1e-5, atol=1e-5)
