@@ -77,6 +77,7 @@ SECTION_TIMEOUT = {
     "decode_host": 300,
     "canonical": 360,
     "tta": 420,
+    "pipeline": 460,
 }
 
 # Where the running section flushes each metric as it lands (set in
@@ -693,6 +694,48 @@ def section_tta():
     return out
 
 
+def section_pipeline():
+    """END-TO-END serving: packed forward + fused batch decode (the
+    full image->people device program a production server runs, the
+    reference's one-at-a-time forward + CPU-munkres loop:
+    `rtpe/third_party/group.py:266-287`).  With the greedy grouping
+    solver the decode cost is shape-static, so random weights measure
+    the same program a trained model runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode.fused import decode_full_batch
+    from rtpe_tpu.models import pack_w48_params, packed_forward
+    from rtpe_tpu.ops.resize import resize_bilinear
+
+    cfg, model, variables = _teacher_setup()
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    nj = cfg.num_joints
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    def e2e(a, x):
+        coarse, refined = packed_forward(a, x, cfg)
+        hms = refined[..., :nj].astype(jnp.float32)
+        tags = coarse[..., nj:].astype(jnp.float32)
+        tags = resize_bilinear(tags, hms.shape[1:3], align_corners=True)
+        people, n, scores = decode_full_batch(
+            hms, tags, use_pallas=use_pallas, lap="auto")
+        return people, n, scores
+
+    for bs in (128, 64, 32):  # fallbacks if the big batch fails to fit
+        try:
+            log(f"pipeline (packed forward + fused decode) bs={bs}:")
+            cost = {}
+            img_s = _scan_throughput(e2e, pk, bs, 640, cost_out=cost)
+            log(f"  {img_s:.1f} img/s end-to-end")
+            out = {f"pipeline_img_s_bs{bs}": round(img_s, 1)}
+            out.update(_efficiency_extras(img_s, cost, "pipeline"))
+            return out
+        except Exception as e:
+            log(f"pipeline bs={bs} failed: {str(e)[:160]}")
+    raise RuntimeError("no pipeline batch size worked")
+
+
 SECTIONS = {
     "headline": section_headline,
     "int8": section_int8,
@@ -703,6 +746,7 @@ SECTIONS = {
     "decode_host": section_decode_host,
     "canonical": section_canonical,
     "tta": section_tta,
+    "pipeline": section_pipeline,
 }
 
 
@@ -856,8 +900,8 @@ def main():
     # (VERDICT r3 item 1(d)) so a slow compile service cuts the
     # showcase, not the asked-for numbers
     for name in ("train", "decode_fused1", "decode_fused32",
-                 "decode_host", "canonical", "int8act", "int8",
-                 "tta"):
+                 "decode_host", "pipeline", "canonical", "int8act",
+                 "int8", "tta"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
