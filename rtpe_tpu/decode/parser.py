@@ -279,6 +279,39 @@ class HeatmapParser:
         n = int(n_people)
         return [list(people[:n])], [float(s) for s in scores[:n]]
 
+    def parse_fused_batch(self, det, tag
+                          ) -> Tuple[List[List[np.ndarray]],
+                                     List[List[float]]]:
+        """Batched :meth:`parse_fused`: the WHOLE batch decode as one
+        device program + one host pull (:func:`fused.decode_full_batch`
+        — on TPU the greedy grouping mega-kernel, 2.08 ms/img at
+        crowded batch-32 vs 7.6 for :meth:`parse_batch`'s hybrid
+        host-grouping path).  Output contract equals
+        :meth:`parse_batch` (adjust+refine); assignment tie-breaking
+        may differ from munkres on exact cost ties."""
+        import jax
+
+        from .fused import decode_full_batch
+
+        use_pallas = jax.devices()[0].platform == "tpu"
+        people, n_people, scores = jax.device_get(decode_full_batch(
+            det, tag,
+            max_num_people=self.params.max_num_people,
+            detection_threshold=self.params.detection_threshold,
+            tag_threshold=self.params.tag_threshold,
+            use_detection_val=self.params.use_detection_val,
+            ignore_too_much=self.params.ignore_too_much,
+            tag_per_joint=self.tag_per_joint,
+            nms_ksize=self.nms_ksize, nms_padding=self.nms_padding,
+            use_pallas=use_pallas))
+        out_p: List[List[np.ndarray]] = []
+        out_s: List[List[float]] = []
+        for i in range(people.shape[0]):
+            n = int(n_people[i])
+            out_p.append(list(people[i, :n]))
+            out_s.append([float(s) for s in scores[i, :n]])
+        return out_p, out_s
+
     def _tag_image(self, tag_hwt: np.ndarray, j: int) -> np.ndarray:
         h, w = tag_hwt.shape[:2]
         if self.tag_per_joint:

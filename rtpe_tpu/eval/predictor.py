@@ -53,7 +53,8 @@ class PosePredictor:
                  calibration_images: Optional[Sequence] = None,
                  allow_synthetic_calibration: bool = False,
                  mesh=None,
-                 spatial_mesh=None):
+                 spatial_mesh=None,
+                 fused_decode: Optional[bool] = None):
         """``packed=True`` serves the W48 teacher through the row-packed
         fast path (``models/hrnet_packed.py``): BN folded into bf16
         weights once here, ~1.9x the canonical forward throughput.
@@ -91,12 +92,23 @@ class PosePredictor:
         (``tests/test_spatial_stem.py``).  Requires the post-resize
         height to divide by ``32 * n_shards`` — pick ``input_size``
         accordingly (the 64-multiple resize keeps this easy).
-        Mutually exclusive with ``packed``/``mesh``."""
+        Mutually exclusive with ``packed``/``mesh``.
+
+        ``fused_decode`` — decode through the single-device-program
+        fused path (:meth:`HeatmapParser.parse_fused_batch`: on TPU
+        the greedy grouping mega-kernel, 2.08 vs 7.6 ms/img at
+        crowded batch-32).  Default (``None``) resolves to True on the
+        TPU backend and False elsewhere (the hybrid host-grouping
+        :meth:`~HeatmapParser.parse_batch` is the oracle-parity path
+        and faster than interpret-mode kernels on CPU)."""
         self.model = model
         self.variables = variables
         self.num_joints = num_joints
         self.input_size = input_size
         self.parser = parser or HeatmapParser(num_joints=num_joints)
+        if fused_decode is None:
+            fused_decode = jax.default_backend() == "tpu"
+        self.fused_decode = bool(fused_decode)
         self.with_flip = with_flip
         self.scales = tuple(scales)
         if int8 and not packed:
@@ -185,6 +197,12 @@ class PosePredictor:
             img * 255.0, self.input_size, 1, 1)
         return normalize_image(resized / 255.0), center, scale
 
+    def _parse(self, hms, tags):
+        if self.fused_decode:
+            return self.parser.parse_fused_batch(hms, tags)
+        return self.parser.parse_batch(hms, tags, adjust=True,
+                                       refine=True)
+
     def _decode_outputs(self, coarse, refined):
         """Head outputs -> (hms, tags) at the refined resolution."""
         hms = refined[..., : self.num_joints].astype(jnp.float32)
@@ -238,8 +256,7 @@ class PosePredictor:
                 fwd = self._fwd_sharded
             coarse, refined = fwd(jnp.asarray(batch))
             hms, tags = self._decode_outputs(coarse, refined)
-            grouped, scores = self.parser.parse_batch(
-                hms[:n], tags[:n], adjust=True, refine=True)
+            grouped, scores = self._parse(hms[:n], tags[:n])
             hm_hw = (int(hms.shape[1]), int(hms.shape[2]))
             for k, i in enumerate(idxs):
                 out[i] = self._finalize(grouped[k], scores[k],
@@ -264,8 +281,7 @@ class PosePredictor:
         def decode(outs, center, scale):
             coarse, refined = outs
             hms, tags = self._decode_outputs(coarse, refined)
-            grouped, scores = self.parser.parse_batch(
-                hms, tags, adjust=True, refine=True)
+            grouped, scores = self._parse(hms, tags)
             return self._finalize(grouped[0], scores[0], center, scale,
                                   (int(hms.shape[1]), int(hms.shape[2])))
 
@@ -296,7 +312,6 @@ class PosePredictor:
             coarse, refined = self._fwd(x)
             hms, tags = self._decode_outputs(coarse, refined)
 
-        grouped, scores = self.parser.parse_batch(hms, tags, adjust=True,
-                                                  refine=True)
+        grouped, scores = self._parse(hms, tags)
         return self._finalize(grouped[0], scores[0], center, scale,
                               (int(hms.shape[1]), int(hms.shape[2])))

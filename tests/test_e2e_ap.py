@@ -97,6 +97,69 @@ def test_pose_predictor_api(tmp_path):
         assert p[:, 0].max() < 140 * 1.5 and p[:, 1].max() < 100 * 1.5
 
 
+def test_pose_predictor_fused_decode(tmp_path):
+    """PosePredictor(fused_decode=True) — the TPU default — drives the
+    fused batch decode end-to-end through predict/predict_batch."""
+    import jax
+
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import HRNetConfig, PoseHigherHRNet, StageCfg
+
+    cfg = HRNetConfig(
+        num_joints=17, stage2=StageCfg(1, 2, "BASIC", (1, 1), (8, 16)),
+        stage3=StageCfg(1, 3, "BASIC", (1, 1, 1), (8, 16, 32)),
+        stage4=StageCfg(1, 4, "BASIC", (1, 1, 1, 1), (8, 16, 32, 64)),
+        deconv_chans=(8,), deconv_num_blocks=1)
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    pred = PosePredictor(model, variables, input_size=128,
+                         fused_decode=True)
+    assert pred.fused_decode
+    rng = np.random.RandomState(0)
+    img = (rng.rand(100, 140, 3) * 255).astype(np.uint8)
+    people, scores = pred.predict(img)
+    assert isinstance(people, list) and isinstance(scores, list)
+    outs = pred.predict_batch([img, (rng.rand(100, 140, 3) * 255
+                                     ).astype(np.uint8)])
+    assert len(outs) == 2
+    for ppl, sc in outs:
+        assert isinstance(ppl, list) and isinstance(sc, list)
+
+
+def test_parse_fused_batch_matches_parse_batch(tmp_path):
+    """The fused batch decode (PosePredictor's TPU default since r4)
+    finds the same people as the hybrid host-grouping parse_batch on
+    the ideal-scene fixture — count, joints (within the refine path's
+    tolerance), and scores."""
+    root = str(tmp_path)
+    _make_coco_fixture(root, n_imgs=3, hw=(128, 160))
+    ds = CocoDistillationDataset(root, "val2017")
+    parser = HeatmapParser(num_joints=17, max_num_people=30)
+
+    det_b, tag_b = [], []
+    for i in range(len(ds)):
+        s = ds[i]
+        det, tag = _render_ideal(s["joints"], s["mask"].shape)
+        det_b.append(det)
+        tag_b.append(tag)
+    dj = jnp.asarray(np.stack(det_b))
+    tj = jnp.asarray(np.stack(tag_b))
+
+    ref_p, ref_s = parser.parse_batch(dj, tj, adjust=True, refine=True)
+    got_p, got_s = parser.parse_fused_batch(dj, tj)
+    for i in range(len(ds)):
+        assert len(got_p[i]) == len(ref_p[i]), i
+        # match people by mean joint position (ordering may differ)
+        ref_cent = [np.asarray(p)[:, :2].mean(0) for p in ref_p[i]]
+        for p, sc in zip(got_p[i], got_s[i]):
+            c = np.asarray(p)[:, :2].mean(0)
+            d = min(np.linalg.norm(c - rc) for rc in ref_cent)
+            assert d < 2.0, (i, d)
+        np.testing.assert_allclose(sorted(got_s[i]), sorted(ref_s[i]),
+                                   rtol=0.05, atol=0.05)
+
+
 def test_eval_student_engine_with_oracle_model(tmp_path):
     """Drive eval/engine.py end-to-end with an oracle 'model' that
     emits the ideal heatmaps+tags for whatever image it is given."""
