@@ -258,10 +258,13 @@ def step_teacher_coco_ap(res, args):
 
 def step_greedy_decode_parity(res, args, teacher):
     """Greedy-vs-exact grouping on REAL teacher outputs (round 4: the
-    single-image TPU decode path is the greedy mega-kernel).  Decodes
-    the bundled sample images through decode_full with lap='greedy'
-    and lap='xla' and records people-table agreement; on TPU this also
-    compile-validates the greedy kernel on real hardware."""
+    TPU decode 'auto' path is the greedy mega-kernel for BOTH the
+    single-image and the batch entry, and PosePredictor serves
+    parse_fused_batch by default on TPU).  Decodes the bundled sample
+    images through decode_full with lap='greedy' and lap='xla' —
+    and the stacked batch through decode_full_batch — and records
+    people-table agreement; on TPU this also compile-validates both
+    kernels on real hardware."""
     if teacher is None:
         res.skip("greedy_decode_parity", "needs the statedict")
         return
@@ -293,8 +296,11 @@ def step_greedy_decode_parity(res, args, teacher):
     # LAP does, and finds the same number of people.  Person-level AP
     # agreement on realistic scenes is tests/test_e2e_ap.py's job, and
     # decode_stack_minival_ap covers end-AP once COCO mounts.
+    from rtpe_tpu.decode.fused import decode_full_batch
+
     worst_people = 0
     worst_ratio = 1.0
+    hms_all, tags_all = [], []
     for p in imgs[:2]:
         img = np.asarray(Image.open(p).convert("RGB"), np.float32)
         resized, _, _ = resize_align_multi_scale(img, 320, 1, 1)
@@ -304,6 +310,8 @@ def step_greedy_decode_parity(res, args, teacher):
         hms = refined[..., :17].astype(jnp.float32)
         tags = resize_bilinear(coarse[..., 17:].astype(jnp.float32),
                                hms.shape[1:3], align_corners=True)
+        hms_all.append(hms)
+        tags_all.append(tags)
         p_g, n_g, s_g = decode_full(hms, tags, lap=greedy)
         p_x, n_x, s_x = decode_full(hms, tags, lap="xla")
         worst_people = max(worst_people, abs(int(n_g) - int(n_x)))
@@ -313,10 +321,25 @@ def step_greedy_decode_parity(res, args, teacher):
                                0, None).sum())
         worst_ratio = min(worst_ratio,
                           mass_g / max(mass_x, 1e-6))
+    # the batch kernel (PosePredictor's serving default on TPU):
+    # same gate over the stacked sample batch
+    if len({h.shape for h in hms_all}) == 1 and len(hms_all) > 1:
+        hb = jnp.concatenate(hms_all)
+        tb = jnp.concatenate(tags_all)
+        pb_g, nb_g, _ = decode_full_batch(hb, tb, lap=greedy)
+        pb_x, nb_x, _ = decode_full_batch(hb, tb, lap="xla")
+        for i in range(hb.shape[0]):
+            worst_people = max(worst_people,
+                               abs(int(nb_g[i]) - int(nb_x[i])))
+            mg = float(np.clip(np.asarray(pb_g)[i, :int(nb_g[i]), :, 2],
+                               0, None).sum())
+            mx = float(np.clip(np.asarray(pb_x)[i, :int(nb_x[i]), :, 2],
+                               0, None).sum())
+            worst_ratio = min(worst_ratio, mg / max(mx, 1e-6))
     res.record("greedy_decode_parity",
                worst_people <= 1 and worst_ratio >= 0.95,
                f"max people delta {worst_people}, grouped-mass ratio "
-               f"greedy/exact {worst_ratio:.3f}")
+               f"greedy/exact {worst_ratio:.3f} (single + batch)")
 
 
 def main():
