@@ -78,6 +78,7 @@ SECTION_TIMEOUT = {
     "canonical": 360,
     "tta": 420,
     "pipeline": 460,
+    "pipeline_int8act": 560,
 }
 
 # Where the running section flushes each metric as it lands (set in
@@ -314,29 +315,24 @@ def section_int8():
     return out
 
 
-def section_int8act():
-    """int8 weights + int8 ACTIVATION STORAGE (consumer-scale static
-    quantization of every inter-layer tensor): the remaining 2x HBM
-    lever on the memory-bound serving path (VERDICT r2 item 4)."""
+def _quantized_packed_params(cfg, pk):
+    """int8-quantized packed params with cached activation scales.
+
+    The scale file is keyed to the packed-param tree: the conv-input
+    scales must cover ``pk`` exactly AND the fuse-layer OUTPUT scales
+    (":out" keys, r4 — they arm ``QConv.inv_sy`` int8 operand storage)
+    must be present; a pre-r4 file passed the key check and silently
+    benched with the operand-int8 path disarmed."""
     import jax
 
-    from rtpe_tpu.models import (
-        calibrate_act_scales, pack_w48_params, packed_forward,
-        quantize_packed)
+    from rtpe_tpu.models import calibrate_act_scales, quantize_packed
 
-    cfg, model, variables = _teacher_setup()
-    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
     scales_path = os.path.join(os.path.dirname(_FILE), "experiments",
                                "bench_act_scales.json")
     scales = None
     if os.path.exists(scales_path):
         with open(scales_path) as f:
             scales = json.load(f)
-        # stale-cache guard: the conv-input scales must cover pk
-        # exactly AND the fuse-layer OUTPUT scales (":out" keys, r4 —
-        # they arm QConv.inv_sy int8 operand storage) must be present;
-        # a pre-r4 file passed the key check and silently benched with
-        # the operand-int8 path disarmed
         conv_keys = {k for k in scales if not k.endswith(":out")}
         if conv_keys != set(pk) or not any(
                 k.endswith(":out") for k in scales):
@@ -347,7 +343,20 @@ def section_int8act():
                                    (1, 320, 320, 3))], cfg)
         with open(scales_path, "w") as f:
             json.dump(scales, f)
-    pkq = jax.jit(lambda p: quantize_packed(p, scales))(pk)
+    return jax.jit(lambda p: quantize_packed(p, scales))(pk)
+
+
+def section_int8act():
+    """int8 weights + int8 ACTIVATION STORAGE (consumer-scale static
+    quantization of every inter-layer tensor): the remaining 2x HBM
+    lever on the memory-bound serving path (VERDICT r2 item 4)."""
+    import jax
+
+    from rtpe_tpu.models import pack_w48_params, packed_forward
+
+    cfg, model, variables = _teacher_setup()
+    pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    pkq = _quantized_packed_params(cfg, pk)
     bs = 128
     log(f"int8+int8_act packed forward bs={bs}:")
     cost = {}
@@ -694,13 +703,14 @@ def section_tta():
     return out
 
 
-def section_pipeline():
+def _section_pipeline_impl(int8_act):
     """END-TO-END serving: packed forward + fused batch decode (the
     full image->people device program a production server runs, the
     reference's one-at-a-time forward + CPU-munkres loop:
     `rtpe/third_party/group.py:266-287`).  With the greedy grouping
     solver the decode cost is shape-static, so random weights measure
-    the same program a trained model runs."""
+    the same program a trained model runs.  ``int8_act=True`` swaps in
+    the int8-weight + int8-activation forward (same decode program)."""
     import jax
     import jax.numpy as jnp
 
@@ -710,30 +720,69 @@ def section_pipeline():
 
     cfg, model, variables = _teacher_setup()
     pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    if int8_act:
+        pk = _quantized_packed_params(cfg, pk)
     nj = cfg.num_joints
     use_pallas = jax.devices()[0].platform == "tpu"
+    prefix = "pipeline_int8act" if int8_act else "pipeline"
 
-    def e2e(a, x):
-        coarse, refined = packed_forward(a, x, cfg)
-        hms = refined[..., :nj].astype(jnp.float32)
-        tags = coarse[..., nj:].astype(jnp.float32)
-        tags = resize_bilinear(tags, hms.shape[1:3], align_corners=True)
-        people, n, scores = decode_full_batch(
-            hms, tags, use_pallas=use_pallas, lap="auto")
-        return people, n, scores
+    def make_e2e(lap):
+        def e2e(a, x):
+            coarse, refined = packed_forward(
+                a, x, cfg, int8_act=int8_act)
+            hms = refined[..., :nj].astype(jnp.float32)
+            tags = coarse[..., nj:].astype(jnp.float32)
+            tags = resize_bilinear(tags, hms.shape[1:3],
+                                   align_corners=True)
+            people, n, scores = decode_full_batch(
+                hms, tags, use_pallas=use_pallas and lap != "xla",
+                lap=lap)
+            return people, n, scores
+        return e2e
 
-    for bs in (128, 64, 32):  # fallbacks if the big batch fails to fit
-        try:
-            log(f"pipeline (packed forward + fused decode) bs={bs}:")
-            cost = {}
-            img_s = _scan_throughput(e2e, pk, bs, 640, cost_out=cost)
-            log(f"  {img_s:.1f} img/s end-to-end")
-            out = {f"pipeline_img_s_bs{bs}": round(img_s, 1)}
-            out.update(_efficiency_extras(img_s, cost, "pipeline"))
-            return out
-        except Exception as e:
-            log(f"pipeline bs={bs} failed: {str(e)[:160]}")
-    raise RuntimeError("no pipeline batch size worked")
+    # lap ladder x batch fallbacks, each rung's compile bounded so a
+    # Mosaic wedge degrades (next rung) instead of erasing the metric.
+    # int8_act: the combined int8+decode program's bs128 compile blows
+    # past 380 s (measured: >600 s; bs64 is 90 s) — land the reliable
+    # bs64 number FIRST and flush it, then attempt bs128 as pure
+    # upside within the same section.
+    bss = (64, 128) if int8_act else (128, 64)
+    out = {}
+    for lap in _bench_lap_ladder():
+        for bs in bss:
+            try:
+                log(f"{prefix} (forward + fused decode) "
+                    f"bs={bs} lap={lap}:")
+                cost = {}
+                with compile_deadline(380):
+                    img_s = _scan_throughput(
+                        make_e2e(lap), pk, bs, 640, cost_out=cost)
+                log(f"  {img_s:.1f} img/s end-to-end")
+                out[f"{prefix}_img_s_bs{bs}"] = round(img_s, 1)
+                out.update(_efficiency_extras(
+                    img_s, cost, prefix,
+                    peak_tflops=PEAK_TOPS_INT8 if int8_act
+                    else PEAK_TFLOPS_BF16))
+                flush_metric(out)
+                if int8_act and bs != bss[-1]:
+                    continue  # upside attempt at the next batch size
+                return out
+            except Exception as e:
+                log(f"{prefix} bs={bs} lap={lap} failed: "
+                    f"{str(e)[:160]}")
+                if out:  # the flushed rung already landed; stop here
+                    return out
+    if out:
+        return out
+    raise RuntimeError("no pipeline configuration worked")
+
+
+def section_pipeline():
+    return _section_pipeline_impl(int8_act=False)
+
+
+def section_pipeline_int8act():
+    return _section_pipeline_impl(int8_act=True)
 
 
 SECTIONS = {
@@ -747,6 +796,7 @@ SECTIONS = {
     "canonical": section_canonical,
     "tta": section_tta,
     "pipeline": section_pipeline,
+    "pipeline_int8act": section_pipeline_int8act,
 }
 
 
@@ -864,8 +914,11 @@ def main():
     # budget; every section is individually time-bounded and flushes
     # per-metric, so a roomier default only spends time when sections
     # are actually producing numbers
+    # 2100 -> 2700 (r4): room for the last-slot pipeline_int8act
+    # showcase; sections still flush per-metric, so a driver kill
+    # mid-battery costs only the sections not yet run
     deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "2100"))
+        os.environ.get("RTPE_BENCH_BUDGET_S", "2700"))
 
     headline = None
     extra = {}
@@ -899,9 +952,11 @@ def main():
     # (VERDICT r1 item 4), and decode runs BEFORE the int8 showcase
     # (VERDICT r3 item 1(d)) so a slow compile service cuts the
     # showcase, not the asked-for numbers
+    # pipeline_int8act runs LAST: pure upside — if the budget runs out
+    # it is skipped without costing any twice-validated metric
     for name in ("train", "decode_fused1", "decode_fused32",
                  "decode_host", "pipeline", "canonical", "int8act",
-                 "int8", "tta"):
+                 "int8", "tta", "pipeline_int8act"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
