@@ -588,3 +588,62 @@ def test_decode_full_batch_greedy_matches_xla_on_scenes():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_x),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(3, 17, 30, 1), (1, 17, 30, 1),
+                                   (5, 4, 8, 2), (8, 6, 12, 1)])
+def test_group_lockstep_matches_greedy_kernel_interpret(shape):
+    """The lockstep kernel (grid=(J,), batch on sublanes, slot-decision
+    outputs + XLA people reconstruction) is row-for-row EQUAL to the
+    grid=(B,J) greedy mega-kernel — same cost ordering, tie bias,
+    threshold acceptance, setdefault merge, and last-writer-wins rows."""
+    from rtpe_tpu.ops.pallas_group import match_by_tag_kernel
+    from rtpe_tpu.ops.pallas_group_lockstep import match_by_tag_lockstep
+
+    B, J, K, D = shape
+    rng = np.random.default_rng(B * 100 + J)
+    tags = rng.normal(size=(B, J, K, D)).astype(np.float32) * 2
+    tags[..., 0] = np.round(tags[..., 0] * 2) / 2  # force key ties
+    locs = rng.uniform(0, 128, size=(B, J, K, 2)).astype(np.float32)
+    vals = np.sort(rng.uniform(-0.5, 1.0, size=(B, J, K))
+                   .astype(np.float32), axis=-1)[..., ::-1].copy()
+    for itm in (False, True):
+        kw = dict(max_num_people=K, ignore_too_much=itm, p_max=90)
+        p_g, n_g = match_by_tag_kernel(
+            jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+            interpret=True, solver="greedy", **kw)
+        p_l, n_l = match_by_tag_lockstep(
+            jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+            interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(n_g), np.asarray(n_l))
+        np.testing.assert_array_equal(np.asarray(p_g), np.asarray(p_l))
+
+
+def test_group_lockstep_edge_cases_interpret():
+    """Lockstep edge semantics equal the oracle path: empty scenes in a
+    mixed batch return zero people (and don't disturb neighbors), and
+    the float-key setdefault merge chains same-key new persons onto one
+    slot."""
+    from rtpe_tpu.decode.group_jit import match_by_tag_jit
+    from rtpe_tpu.ops.pallas_group_lockstep import match_by_tag_lockstep
+
+    J, K, D = 3, 4, 1
+    rng = np.random.default_rng(1)
+    # image 0: empty; image 1: the setdefault-merge scene
+    tags = np.zeros((2, J, K, D), np.float32)
+    tags[1, 0, :2, 0] = 7.25
+    tags[1, 0, 2:, 0] = 100.0 + np.arange(K - 2) * 50.0
+    tags[1, 1:, :, 0] = 1e6
+    locs = rng.uniform(0, 32, size=(2, J, K, 2)).astype(np.float32)
+    vals = np.full((2, J, K), -1.0, np.float32)
+    vals[1, 0] = np.linspace(1.0, 0.4, K, dtype=np.float32)
+    p, n = match_by_tag_lockstep(
+        jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+        max_num_people=K, interpret=True)
+    assert int(n[0]) == 0 and np.all(np.asarray(p[0]) == 0)
+    p_ref, n_ref = match_by_tag_jit(
+        jnp.asarray(tags[1]), jnp.asarray(locs[1]),
+        jnp.asarray(vals[1]), max_num_people=K)
+    assert int(n_ref) == int(n[1])
+    np.testing.assert_allclose(np.asarray(p[1]), np.asarray(p_ref),
+                               atol=1e-5)
