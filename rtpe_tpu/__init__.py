@@ -53,10 +53,25 @@ def _apply_platform_override():
             import jax
         except ImportError:
             return
-        # an invalid value or a failing update must NOT silently run on
-        # the wrong backend — that is the exact misconfiguration the
-        # env var exists to prevent (ADVICE r3)
-        jax.config.update("jax_platforms", plat)
+        if plat.strip().lower() == "tpu":
+            # Explicitly pinning jax_platforms="tpu" breaks backend
+            # init on this environment's tunneled axon TPU ("No
+            # jellyfish device found", observed 2026-08-19 after a
+            # tunnel restart) while AUTO-selection initializes the
+            # same chip fine.  Clear any pin and verify eagerly — a
+            # wrong backend must fail loudly (ADVICE r3), never run
+            # silently.
+            jax.config.update("jax_platforms", "")
+            backend = jax.default_backend()  # forces init now
+            if backend != "tpu":
+                raise RuntimeError(
+                    f"RTPE_PLATFORM=tpu but the auto-selected backend "
+                    f"is {backend!r} (TPU tunnel down?)")
+        else:
+            # an invalid value or a failing update must NOT silently
+            # run on the wrong backend — that is the exact
+            # misconfiguration the env var exists to prevent (ADVICE r3)
+            jax.config.update("jax_platforms", plat)
 
 
 _apply_platform_override()
