@@ -19,6 +19,7 @@ from .group_jit import match_by_tag_jit
 from .nms import top_k
 from .refine_device import adjust_refine_device
 from ..ops import pallas_group
+from ..ops.pallas_group_lockstep import match_by_tag_lockstep
 
 
 def _kernel_fits(k: int, m: int, p_max: int) -> bool:
@@ -63,10 +64,16 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
                        ).astype(np.float32)
     vals[0, :, max(1, max_num_people * 2 // 5):] = -1.0  # sub-threshold
     try:
-        p_k, n_k = pallas_group.match_by_tag_kernel(
-            jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
-            max_num_people=max_num_people, p_max=p_max,
-            interpret=interpret, solver=solver)
+        if solver == "lockstep":
+            p_k, n_k = match_by_tag_lockstep(
+                jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+                max_num_people=max_num_people, p_max=p_max,
+                interpret=interpret)
+        else:
+            p_k, n_k = pallas_group.match_by_tag_kernel(
+                jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
+                max_num_people=max_num_people, p_max=p_max,
+                interpret=interpret, solver=solver)
         p_x, n_x = match_by_tag_jit(
             jnp.asarray(tags[0]), jnp.asarray(locs[0]),
             jnp.asarray(vals[0]), max_num_people=max_num_people,
@@ -90,24 +97,30 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
 
 def _resolve_auto_lap(max_num_people: int, p_max: int, num_joints: int,
                       d: int, single_image: bool = False) -> str:
-    """``auto`` prefers the GREEDY mega-kernel solver for both entry
-    points: the exact LAP's sequential Dijkstra depth is the latency
-    floor in either shape — single-image 9.6 vs 4.6 ms at 320px
-    crowded-noise scenes, and batch-32 5.55 vs 2.07 ms/img (r4
-    measurement; the lockstep lanes amortize the LAP's depth far less
-    than assumed because every lane still walks the worst lane's
-    augmenting paths).  Greedy is straight-line vector code with
+    """``auto`` prefers the GREEDY solver for both entry points: the
+    exact LAP's sequential Dijkstra depth is the latency floor in
+    either shape — single-image 9.6 vs 4.6 ms at 320px crowded-noise
+    scenes, and batch-32 5.55 vs 2.07 ms/img for the ``grid=(B, J)``
+    greedy mega-kernel.  For BATCH decode ``auto`` picks the LOCKSTEP
+    greedy kernel (``grid=(J,)``, batch on sublanes,
+    :mod:`rtpe_tpu.ops.pallas_group_lockstep`): the grouping cost no
+    longer scales with B — 0.61 vs 12.11 ms per batch-32 grouping on
+    crowded scenes (r4, 20×; row-for-row parity with the greedy
+    mega-kernel asserted in tests and in the one-time on-device
+    self-check).  Single-image keeps ``grid=(B, J)`` greedy: at B=1
+    the lockstep kernel's all-images vector ops cost ~1.6× more per
+    joint step.  Greedy is straight-line vector code with
     people/AP-level parity asserted on the tie-prone fixtures
     (tests/test_e2e_ap.py, tests/test_decode.py); the exact solver
-    stays reachable with ``lap="kernel"``.  ``single_image`` only
-    selects which solver the one-time self-check compiles."""
+    stays reachable with ``lap="kernel"``."""
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = on_tpu and _kernel_fits(max_num_people,
                                          max_num_people, p_max)
+    solver = "greedy" if single_image else "lockstep"
     if use_kernel and os.environ.get("RTPE_LAP_SELFCHECK", "1") != "0":
         use_kernel = kernel_selfcheck(
-            max_num_people, p_max, num_joints, d, solver="greedy")
-    return "greedy" if use_kernel else ("pallas" if on_tpu else "xla")
+            max_num_people, p_max, num_joints, d, solver=solver)
+    return solver if use_kernel else ("pallas" if on_tpu else "xla")
 
 
 @partial(jax.jit, static_argnames=(
@@ -147,7 +160,7 @@ def decode_full(det: jax.Array, tag: jax.Array,
         lap = _resolve_auto_lap(max_num_people, p_max, j, dd,
                                 single_image=True)
     kernel_laps = ("kernel", "kernel_interpret", "greedy",
-                   "greedy_interpret")
+                   "greedy_interpret", "lockstep", "lockstep_interpret")
     if lap in kernel_laps:
         # the Mosaic NMS+top-k kernel and the grouping mega-kernel in
         # one program crash this TPU backend (worker kernel fault,
@@ -158,15 +171,25 @@ def decode_full(det: jax.Array, tag: jax.Array,
                                 nms_padding, tag_per_joint,
                                 use_pallas=use_pallas)
     if lap in kernel_laps:
-        people_b, n_b = pallas_group.match_by_tag_kernel(
-            tag_k, loc_k, val_k,
-            max_num_people=max_num_people,
-            detection_threshold=detection_threshold,
-            tag_threshold=tag_threshold,
-            use_detection_val=use_detection_val,
-            ignore_too_much=ignore_too_much,
-            p_max=p_max, interpret=lap.endswith("_interpret"),
-            solver="greedy" if lap.startswith("greedy") else "lap")
+        if lap.startswith("lockstep"):
+            people_b, n_b = match_by_tag_lockstep(
+                tag_k, loc_k, val_k,
+                max_num_people=max_num_people,
+                detection_threshold=detection_threshold,
+                tag_threshold=tag_threshold,
+                use_detection_val=use_detection_val,
+                ignore_too_much=ignore_too_much,
+                p_max=p_max, interpret=lap.endswith("_interpret"))
+        else:
+            people_b, n_b = pallas_group.match_by_tag_kernel(
+                tag_k, loc_k, val_k,
+                max_num_people=max_num_people,
+                detection_threshold=detection_threshold,
+                tag_threshold=tag_threshold,
+                use_detection_val=use_detection_val,
+                ignore_too_much=ignore_too_much,
+                p_max=p_max, interpret=lap.endswith("_interpret"),
+                solver="greedy" if lap.startswith("greedy") else "lap")
         people, n_people = people_b[0], n_b[0]
     else:
         people, n_people = match_by_tag_jit(
@@ -222,14 +245,15 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
 
     :param det: (B, H, W, J); tag: (B, H, W, J*D or D).
     :param lap: grouping solver (see :func:`decode_full`).  ``"auto"``
-      picks the grouping mega-kernel on TPU: the ``grid=(B, J)``
-      ``pallas_call`` groups the WHOLE batch in one launch (cost
-      build + assignment + people-table update all in VMEM),
-      replacing the ~510 small XLA ops/joint of the vmapped scan
-      tail, with the GREEDY solver — measured 2.07 ms/img at B=32
-      crowded vs 5.55 for the exact-LAP kernel and 6.3 for the
-      per-joint LAP scan (AP parity on tie-prone fixtures; force the
-      exact solver with ``lap="kernel"``).
+      picks the LOCKSTEP greedy kernel on TPU
+      (:mod:`rtpe_tpu.ops.pallas_group_lockstep`): ``grid=(J,)`` with
+      the whole batch on the sublane axis, so grouping cost is
+      ~independent of B — 0.61 ms per batch-32 crowded grouping vs
+      12.11 for the ``grid=(B, J)`` greedy mega-kernel
+      (``lap="greedy"``) and far more for the exact-LAP kernel
+      (``lap="kernel"``, 5.55 ms/img full decode); row-for-row parity
+      with the greedy mega-kernel asserted in tests and by the
+      one-time on-device self-check.
     :returns: (people (B, p_max, J, 3+D), n_people (B,), scores
       (B, p_max)).
     """
@@ -238,7 +262,7 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
         dd = (tag.shape[-1] // j) if tag_per_joint else tag.shape[-1]
         lap = _resolve_auto_lap(max_num_people, p_max, j, dd)
     kernel_laps = ("kernel", "kernel_interpret", "greedy",
-                   "greedy_interpret")
+                   "greedy_interpret", "lockstep", "lockstep_interpret")
     if lap in kernel_laps:
         use_pallas = False  # see decode_full: combo crashes the worker
     # top-k is natively batched (and the Pallas kernels stay out of
@@ -248,15 +272,25 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
                                 use_pallas=use_pallas)
 
     if lap in kernel_laps:
-        people_b, n_b = pallas_group.match_by_tag_kernel(
-            tag_k, loc_k, val_k,
-            max_num_people=max_num_people,
-            detection_threshold=detection_threshold,
-            tag_threshold=tag_threshold,
-            use_detection_val=use_detection_val,
-            ignore_too_much=ignore_too_much,
-            p_max=p_max, interpret=lap.endswith("_interpret"),
-            solver="greedy" if lap.startswith("greedy") else "lap")
+        if lap.startswith("lockstep"):
+            people_b, n_b = match_by_tag_lockstep(
+                tag_k, loc_k, val_k,
+                max_num_people=max_num_people,
+                detection_threshold=detection_threshold,
+                tag_threshold=tag_threshold,
+                use_detection_val=use_detection_val,
+                ignore_too_much=ignore_too_much,
+                p_max=p_max, interpret=lap.endswith("_interpret"))
+        else:
+            people_b, n_b = pallas_group.match_by_tag_kernel(
+                tag_k, loc_k, val_k,
+                max_num_people=max_num_people,
+                detection_threshold=detection_threshold,
+                tag_threshold=tag_threshold,
+                use_detection_val=use_detection_val,
+                ignore_too_much=ignore_too_much,
+                p_max=p_max, interpret=lap.endswith("_interpret"),
+                solver="greedy" if lap.startswith("greedy") else "lap")
 
         def tail_k(det_i, tag_i, people, n_people):
             det0 = det_i.astype(jnp.float32)

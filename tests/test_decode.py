@@ -590,6 +590,35 @@ def test_decode_full_batch_greedy_matches_xla_on_scenes():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_decode_full_batch_lockstep_matches_xla_on_scenes():
+    """decode_full_batch with the LOCKSTEP greedy kernel (the TPU
+    ``auto`` pick for batch decode since r4: 0.61 vs 12.11 ms per
+    batch-32 crowded grouping) equals the XLA-Hungarian batch decode
+    end to end — people tables AND scores, every image of a
+    mixed-scene batch — and the one-time self-check passes for the
+    lockstep solver in interpret mode."""
+    from rtpe_tpu.decode import fused
+
+    det_b, tag_b = [], []
+    for seed in (0, 1, 2, 3):
+        det, tag = _make_scene(seed=seed, tag_per_joint=True)
+        det_b.append(det)
+        tag_b.append(tag)
+    j_det = jnp.asarray(np.stack(det_b))
+    j_tag = jnp.asarray(np.stack(tag_b))
+    p_x, n_x, s_x = fused.decode_full_batch(j_det, j_tag, lap="xla")
+    p_l, n_l, s_l = fused.decode_full_batch(j_det, j_tag,
+                                            lap="lockstep_interpret")
+    np.testing.assert_array_equal(np.asarray(n_x), np.asarray(n_l))
+    np.testing.assert_allclose(np.asarray(p_l), np.asarray(p_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_l), np.asarray(s_x),
+                               rtol=1e-5, atol=1e-5)
+    assert fused.kernel_selfcheck(max_num_people=8, p_max=16,
+                                  num_joints=4, d=1, interpret=True,
+                                  solver="lockstep")
+
+
 @pytest.mark.parametrize("shape", [(3, 17, 30, 1), (1, 17, 30, 1),
                                    (5, 4, 8, 2), (8, 6, 12, 1)])
 def test_group_lockstep_matches_greedy_kernel_interpret(shape):
