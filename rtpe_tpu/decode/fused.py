@@ -17,9 +17,36 @@ import jax.numpy as jnp
 
 from .group_jit import match_by_tag_jit
 from .nms import top_k
-from .refine_device import adjust_refine_device
+from .refine_device import adjust_refine_batch
 from ..ops import pallas_group
 from ..ops.pallas_group_lockstep import match_by_tag_lockstep
+
+
+def _tag_image_batch(tag: jax.Array, j: int,
+                     tag_per_joint: bool) -> jax.Array:
+    """(B, H, W, J*D or D) tag planes -> (B, H, W, J, D) fp32."""
+    b, h, w, _ = tag.shape
+    t = tag.astype(jnp.float32)
+    if tag_per_joint:
+        d = t.shape[-1] // j
+        return t.reshape(b, h, w, j, d)
+    d = t.shape[-1]
+    return jnp.broadcast_to(t[:, :, :, None, :], (b, h, w, j, d))
+
+
+def _refine_tail(det: jax.Array, tag: jax.Array, people_b: jax.Array,
+                 n_b: jax.Array, j: int, tag_per_joint: bool,
+                 p_max: int, refine_cap: int):
+    """Shared batched adjust+scores+capped-refine tail; zeroes slots
+    beyond each image's n_people (they may contain refine artifacts)."""
+    tag_img = _tag_image_batch(tag, j, tag_per_joint)
+    people_b, scores_b = adjust_refine_batch(
+        det.astype(jnp.float32), tag_img, people_b, n_b,
+        cap=refine_cap)
+    slot_valid = jnp.arange(p_max)[None, :] < n_b[:, None]
+    people_b = jnp.where(slot_valid[..., None, None], people_b, 0.0)
+    scores_b = jnp.where(slot_valid, scores_b, 0.0)
+    return people_b, n_b, scores_b
 
 
 def _kernel_fits(k: int, m: int, p_max: int) -> bool:
@@ -126,7 +153,8 @@ def _resolve_auto_lap(max_num_people: int, p_max: int, num_joints: int,
 @partial(jax.jit, static_argnames=(
     "max_num_people", "detection_threshold", "tag_threshold",
     "use_detection_val", "ignore_too_much", "tag_per_joint",
-    "nms_ksize", "nms_padding", "p_max", "use_pallas", "lap"))
+    "nms_ksize", "nms_padding", "p_max", "use_pallas", "lap",
+    "refine_cap"))
 def decode_full(det: jax.Array, tag: jax.Array,
                 max_num_people: int = 30,
                 detection_threshold: float = 0.1,
@@ -137,7 +165,8 @@ def decode_full(det: jax.Array, tag: jax.Array,
                 nms_ksize: int = 5, nms_padding: int = 2,
                 p_max: int = 90,
                 use_pallas: bool = False,
-                lap: str = "auto"
+                lap: str = "auto",
+                refine_cap: int = 32
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:param det: (1, H, W, J); :param tag: (1, H, W, J*D) or (1,H,W,D).
     :param lap: grouping solver — ``"auto"`` picks the single-launch
@@ -152,6 +181,10 @@ def decode_full(det: jax.Array, tag: jax.Array,
       ``"pallas"`` keeps the per-joint LAP-kernel scan; other values
       pass through to
       :func:`~rtpe_tpu.decode.group_jit.match_by_tag_jit`.
+    :param refine_cap: refine only the first ``refine_cap`` people
+      slots when ``n_people`` fits them (a runtime ``lax.cond``; see
+      :func:`~rtpe_tpu.decode.refine_device.adjust_refine_batch`).
+      0 disables the cap.
     :returns: (people (p_max, J, 3+D), n_people int32, scores (p_max,)).
     """
     _, h, w, j = det.shape
@@ -190,7 +223,6 @@ def decode_full(det: jax.Array, tag: jax.Array,
                 ignore_too_much=ignore_too_much,
                 p_max=p_max, interpret=lap.endswith("_interpret"),
                 solver="greedy" if lap.startswith("greedy") else "lap")
-        people, n_people = people_b[0], n_b[0]
     else:
         people, n_people = match_by_tag_jit(
             tag_k[0], loc_k[0], val_k[0],
@@ -200,28 +232,18 @@ def decode_full(det: jax.Array, tag: jax.Array,
             use_detection_val=use_detection_val,
             ignore_too_much=ignore_too_much,
             p_max=p_max, lap=lap)
+        people_b, n_b = people[None], n_people[None]
 
-    det0 = det[0].astype(jnp.float32)
-    tag0 = tag[0].astype(jnp.float32)
-    if tag_per_joint:
-        d = tag0.shape[-1] // j
-        tag_img = tag0.reshape(h, w, j, d)
-    else:
-        d = tag0.shape[-1]
-        tag_img = jnp.broadcast_to(tag0[:, :, None, :], (h, w, j, d))
-
-    people, scores = adjust_refine_device(det0, tag_img, people)
-    # zero out slots beyond n_people (they may contain refine artifacts)
-    slot_valid = jnp.arange(p_max) < n_people
-    people = jnp.where(slot_valid[:, None, None], people, 0.0)
-    scores = jnp.where(slot_valid, scores, 0.0)
-    return people, n_people, scores
+    people_b, n_b, scores_b = _refine_tail(
+        det, tag, people_b, n_b, j, tag_per_joint, p_max, refine_cap)
+    return people_b[0], n_b[0], scores_b[0]
 
 
 @partial(jax.jit, static_argnames=(
     "max_num_people", "detection_threshold", "tag_threshold",
     "use_detection_val", "ignore_too_much", "tag_per_joint",
-    "nms_ksize", "nms_padding", "p_max", "use_pallas", "lap"))
+    "nms_ksize", "nms_padding", "p_max", "use_pallas", "lap",
+    "refine_cap"))
 def decode_full_batch(det: jax.Array, tag: jax.Array,
                       max_num_people: int = 30,
                       detection_threshold: float = 0.1,
@@ -232,7 +254,8 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
                       nms_ksize: int = 5, nms_padding: int = 2,
                       p_max: int = 90,
                       use_pallas: bool = False,
-                      lap: str = "auto"
+                      lap: str = "auto",
+                      refine_cap: int = 32
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched single-dispatch decode: ``vmap`` of :func:`decode_full`
     over the image dimension.
@@ -291,48 +314,18 @@ def decode_full_batch(det: jax.Array, tag: jax.Array,
                 ignore_too_much=ignore_too_much,
                 p_max=p_max, interpret=lap.endswith("_interpret"),
                 solver="greedy" if lap.startswith("greedy") else "lap")
+    else:
+        def group_one(val_i, loc_i, tagk_i):
+            return match_by_tag_jit(
+                tagk_i, loc_i, val_i,
+                max_num_people=max_num_people,
+                detection_threshold=detection_threshold,
+                tag_threshold=tag_threshold,
+                use_detection_val=use_detection_val,
+                ignore_too_much=ignore_too_much,
+                p_max=p_max, lap=lap)
 
-        def tail_k(det_i, tag_i, people, n_people):
-            det0 = det_i.astype(jnp.float32)
-            tag0 = tag_i.astype(jnp.float32)
-            if tag_per_joint:
-                d = tag0.shape[-1] // j
-                tag_img = tag0.reshape(h, w, j, d)
-            else:
-                d = tag0.shape[-1]
-                tag_img = jnp.broadcast_to(tag0[:, :, None, :],
-                                           (h, w, j, d))
-            people, scores = adjust_refine_device(det0, tag_img,
-                                                  people)
-            slot_valid = jnp.arange(p_max) < n_people
-            people = jnp.where(slot_valid[:, None, None], people, 0.0)
-            scores = jnp.where(slot_valid, scores, 0.0)
-            return people, n_people, scores
+        people_b, n_b = jax.vmap(group_one)(val_k, loc_k, tag_k)
 
-        return jax.vmap(tail_k)(det, tag, people_b, n_b)
-
-    def tail(det_i, tag_i, val_i, loc_i, tagk_i):
-        people, n_people = match_by_tag_jit(
-            tagk_i, loc_i, val_i,
-            max_num_people=max_num_people,
-            detection_threshold=detection_threshold,
-            tag_threshold=tag_threshold,
-            use_detection_val=use_detection_val,
-            ignore_too_much=ignore_too_much,
-            p_max=p_max, lap=lap)
-        det0 = det_i.astype(jnp.float32)
-        tag0 = tag_i.astype(jnp.float32)
-        if tag_per_joint:
-            d = tag0.shape[-1] // j
-            tag_img = tag0.reshape(h, w, j, d)
-        else:
-            d = tag0.shape[-1]
-            tag_img = jnp.broadcast_to(tag0[:, :, None, :],
-                                       (h, w, j, d))
-        people, scores = adjust_refine_device(det0, tag_img, people)
-        slot_valid = jnp.arange(p_max) < n_people
-        people = jnp.where(slot_valid[:, None, None], people, 0.0)
-        scores = jnp.where(slot_valid, scores, 0.0)
-        return people, n_people, scores
-
-    return jax.vmap(tail)(det, tag, val_k, loc_k, tag_k)
+    return _refine_tail(det, tag, people_b, n_b, j, tag_per_joint,
+                        p_max, refine_cap)

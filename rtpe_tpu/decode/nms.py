@@ -31,8 +31,11 @@ def _topk_by_argmax(flat: jax.Array, k: int):
 
     ``jax.lax.top_k`` lowers to a sort network whose TPU compile takes
     minutes for H*W-sized axes; for the tiny k used here (max_people=30)
-    k argmax reductions run just as fast and compile instantly.  Tie
-    order (lowest index first) matches lax.top_k / torch.topk.
+    k argmax reductions compile instantly.  Tie order (lowest index
+    first) matches lax.top_k / torch.topk.  Kept as the oracle for
+    :func:`_topk_tournament` — every step re-reads AND re-writes the
+    full (B, J, H*W) plane (~2 × 223 MB per step at B=32 @320px), the
+    measured dominant cost of the batched fused decode.
     """
 
     def body(carry, _):
@@ -48,6 +51,57 @@ def _topk_by_argmax(flat: jax.Array, k: int):
     # scan stacks along axis 0 -> (K, B, J); move K last
     val_k = jnp.moveaxis(vals, 0, -1)
     ind = jnp.moveaxis(inds, 0, -1).astype(jnp.int32)
+    return val_k, ind
+
+
+def _topk_tournament(flat: jax.Array, k: int, block: int = 128):
+    """Exact top-k via a block tournament.
+
+    One full pass builds per-block (max, argmax); each of the k steps
+    then reads only the (NB,)-wide block-max table, emits its winner,
+    and rebuilds that single block's (max, argmax) after masking the
+    taken element — O(HW + k·(NB + block)) memory traffic instead of
+    :func:`_topk_by_argmax`'s k·O(HW) read+write passes (at B=32
+    @320px: ~0.2 GB total vs ~13 GB).
+
+    Tie order (lowest flat index first, matching lax.top_k / torch)
+    is preserved exactly: within a block the argmax picks the lowest
+    in-block index, across blocks the tournament argmax picks the
+    lowest block, and re-extracting a later duplicate from the same
+    block repeats the same two rules.
+    """
+    *lead, hw = flat.shape
+    nb = -(-hw // block)
+    pad = nb * block - hw
+    if pad:
+        fill = jnp.full((*lead, pad), -jnp.inf, flat.dtype)
+        flat = jnp.concatenate([flat, fill], axis=-1)
+    l = 1
+    for n in lead:
+        l *= n
+    blocks = flat.reshape(l, nb, block)
+    bmax = jnp.max(blocks, axis=-1)                       # (L, NB)
+    barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)  # (L, NB)
+    li = jnp.arange(l)
+
+    def body(carry, _):
+        blocks, bmax, barg = carry
+        g = jnp.argmax(bmax, axis=-1)                     # (L,)
+        a = barg[li, g]                                   # (L,)
+        val = bmax[li, g]
+        idx = g.astype(jnp.int32) * block + a
+        row = blocks[li, g]                               # (L, block)
+        row = row.at[li, a].set(-jnp.inf)
+        blocks = blocks.at[li, g].set(row)
+        bmax = bmax.at[li, g].set(jnp.max(row, axis=-1))
+        barg = barg.at[li, g].set(
+            jnp.argmax(row, axis=-1).astype(jnp.int32))
+        return (blocks, bmax, barg), (val, idx)
+
+    _, (vals, inds) = jax.lax.scan(body, (blocks, bmax, barg), None,
+                                   length=k)
+    val_k = jnp.moveaxis(vals, 0, -1).reshape(*lead, k)
+    ind = jnp.moveaxis(inds, 0, -1).reshape(*lead, k)
     return val_k, ind
 
 
@@ -75,7 +129,7 @@ def top_k(det: jax.Array, tag: jax.Array, max_people: int = 30,
     else:
         peaks = nms_heatmaps(det, ksize, padding)
         flat = peaks.transpose(0, 3, 1, 2).reshape(b, j, h * w)
-        val_k, ind = _topk_by_argmax(flat, max_people)  # (B, J, K)
+        val_k, ind = _topk_tournament(flat, max_people)  # (B, J, K)
         x = (ind % w).astype(jnp.int32)
         y = (ind // w).astype(jnp.int32)
     loc_k = jnp.stack([x, y], axis=-1)

@@ -238,6 +238,90 @@ def test_pallas_nms_topk_matches_jnp_interpret():
                                   np.asarray(loc2)[..., 1])
 
 
+def test_topk_tournament_matches_argmax_oracle():
+    """The block-tournament top-k (the O(HW + k·NB) replacement for
+    the k-pass argmax scan — the measured dominant cost of batched
+    fused decode) is value- AND index-exact vs the oracle, including
+    the regimes that stress tie order: NMS-suppressed planes that are
+    ~all zeros (ties must resolve lowest-index-first), duplicate peak
+    values within one block and across blocks, all-negative student
+    logits, k larger than the number of distinct positives, and a
+    non-multiple-of-block trailing axis."""
+    from rtpe_tpu.decode.nms import _topk_by_argmax, _topk_tournament
+
+    rng = np.random.default_rng(42)
+    cases = []
+    # near-all-zero NMS-style plane, few sparse peaks
+    z = np.zeros((2, 3, 1000), np.float32)
+    for b in range(2):
+        for j in range(3):
+            pk = rng.choice(1000, size=5, replace=False)
+            z[b, j, pk] = rng.uniform(0.2, 1.0, size=5)
+    cases.append((z, 30))
+    # duplicate values in and across blocks (block=128)
+    d = np.zeros((1, 2, 512), np.float32)
+    d[0, 0, [3, 40, 130, 131, 400]] = 0.5         # cross/in-block ties
+    d[0, 1, [0, 1, 2, 3]] = np.float32([0.7, 0.7, 0.7, 0.7])
+    cases.append((d, 10))
+    # all-negative logits, axis not a multiple of the block
+    neg = -rng.uniform(0.1, 5.0, size=(2, 2, 333)).astype(np.float32)
+    cases.append((neg, 8))
+    # dense random with many repeats (quantized to force ties)
+    q = np.round(rng.normal(size=(3, 4, 2048)) * 4).astype(np.float32)
+    cases.append((q, 30))
+    for flat, k in cases:
+        v_o, i_o = _topk_by_argmax(jnp.asarray(flat), k)
+        v_t, i_t = _topk_tournament(jnp.asarray(flat), k)
+        np.testing.assert_array_equal(np.asarray(v_o), np.asarray(v_t))
+        np.testing.assert_array_equal(np.asarray(i_o), np.asarray(i_t))
+
+
+def test_adjust_refine_batch_cap_matches_per_image_oracle():
+    """The slot-capped batched refine equals the per-image
+    adjust_refine_device oracle in BOTH cond branches: when every
+    image's occupancy fits the cap (cheap branch refines only
+    people[:, :cap] — occupied slots are contiguous from 0 by the
+    grouping's sequential allocation), and when one image exceeds it
+    (full-envelope branch).  Also via decode_full_batch(refine_cap)."""
+    from rtpe_tpu.decode.refine_device import (adjust_refine_batch,
+                                               adjust_refine_device)
+
+    rng = np.random.default_rng(3)
+    B, H, W, J, D, P = 3, 32, 40, 4, 1, 12
+    det = rng.uniform(0, 1, size=(B, H, W, J)).astype(np.float32)
+    tag = rng.normal(size=(B, H, W, J, D)).astype(np.float32)
+
+    def make_people(n_occ):
+        ppl = np.zeros((P, J, 3 + D), np.float32)
+        for p in range(n_occ):
+            vis = rng.random(J) > 0.3
+            vis[rng.integers(0, J)] = True
+            ppl[p, vis, 0] = rng.uniform(1, W - 2, size=vis.sum())
+            ppl[p, vis, 1] = rng.uniform(1, H - 2, size=vis.sum())
+            ppl[p, vis, 2] = rng.uniform(0.2, 1.0, size=vis.sum())
+            ppl[p, vis, 3] = rng.normal()
+        return ppl
+
+    for occ in ([2, 4, 1], [2, 9, 1]):   # cap=4: cheap / full branch
+        people = np.stack([make_people(n) for n in occ])
+        n_b = np.asarray(occ, np.int32)
+        p_c, s_c = adjust_refine_batch(
+            jnp.asarray(det), jnp.asarray(tag), jnp.asarray(people),
+            jnp.asarray(n_b), cap=4)
+        for b in range(B):
+            p_o, s_o = adjust_refine_device(
+                jnp.asarray(det[b]), jnp.asarray(tag[b]),
+                jnp.asarray(people[b]))
+            # slots beyond this image's occupancy are zero rows in the
+            # input, hence inert in the oracle too — compare occupied
+            np.testing.assert_allclose(np.asarray(p_c[b][:occ[b]]),
+                                       np.asarray(p_o)[:occ[b]],
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(s_c[b]),
+                                       np.asarray(s_o),
+                                       rtol=1e-6, atol=1e-6)
+
+
 def test_munkres_assign_rectangular_semantics():
     _install_munkres_shim()
     from munkres import Munkres
