@@ -79,6 +79,7 @@ SECTION_TIMEOUT = {
     "tta": 420,
     "pipeline": 460,
     "pipeline_int8act": 560,
+    "pipeline_lat1": 420,
 }
 
 # Where the running section flushes each metric as it lands (set in
@@ -785,6 +786,84 @@ def section_pipeline_int8act():
     return _section_pipeline_impl(int8_act=True)
 
 
+def section_pipeline_lat1():
+    """Single-IMAGE end-to-end device latency: one 640 px image ->
+    packed forward -> fused greedy decode -> people, in ONE dispatch
+    at bs=1 — the interactive/'realtime' serving number.  The
+    reference pays a per-image CPU munkres decode on top of its
+    one-at-a-time forward (`rtpe/third_party/group.py:266-287`);
+    this program keeps the whole image->people path on chip.
+    Scan-chained with a data dependency (like decode_fused1) so the
+    ~30 ms tunnel round trip amortizes out.  bf16 first (flushed),
+    then the int8-act variant as upside."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode.fused import decode_full_batch
+    from rtpe_tpu.models import pack_w48_params, packed_forward
+    from rtpe_tpu.ops.resize import resize_bilinear
+
+    cfg, model, variables = _teacher_setup()
+    pk_bf16 = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+    nj = cfg.num_joints
+    use_pallas = jax.devices()[0].platform == "tpu"
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 640, 640, 3),
+                           jnp.float32)
+
+    def make_loop(pk, int8_act):
+        def e2e(c):
+            coarse, refined = packed_forward(pk, c, cfg,
+                                             int8_act=int8_act)
+            hms = refined[..., :nj].astype(jnp.float32)
+            tags = coarse[..., nj:].astype(jnp.float32)
+            tags = resize_bilinear(tags, hms.shape[1:3],
+                                   align_corners=True)
+            return decode_full_batch(hms, tags,
+                                     use_pallas=use_pallas)
+
+        def loop(c0):
+            def body(c, _):
+                people, n, scores = e2e(c)
+                c = c + (jnp.sum(scores) * 1e-9).astype(c.dtype)
+                return c, jnp.sum(people)
+            _, outs = jax.lax.scan(body, c0, None, length=SCAN_LEN)
+            return outs
+        return loop
+
+    out = {}
+    for name, pk, int8_act in (
+            ("bf16", pk_bf16, False),
+            ("int8act", None, True)):
+        try:
+            if int8_act:
+                pk = _quantized_packed_params(cfg, pk_bf16)
+            with compile_deadline(180):
+                lat_c = jax.jit(make_loop(pk, int8_act)
+                                ).lower(x0).compile()
+                jax.device_get(lat_c(x0))  # compile + first
+            times = []
+            for t in range(5):
+                x2 = x0 + t * 1e-6
+                jax.device_get(jnp.sum(x2))  # sync, not a full pull
+                t0 = time.time()
+                jax.device_get(lat_c(x2))
+                times.append(time.time() - t0)
+            ms = float(np.median(times)) / SCAN_LEN * 1e3
+            log(f"pipeline bs=1 latency ({name}): {ms:.2f} ms/img "
+                f"({1e3 / ms:.1f} FPS single-stream, "
+                f"scan-chained x{SCAN_LEN})")
+            out[f"pipeline_lat1_{name}_p50_ms"] = round(ms, 2)
+            flush_metric(out)
+        except Exception as e:
+            log(f"pipeline_lat1 {name} failed: "
+                f"{type(e).__name__}: {str(e)[:160]}")
+            if out:
+                return out
+    if not out:
+        raise RuntimeError("no pipeline_lat1 variant worked")
+    return out
+
+
 SECTIONS = {
     "headline": section_headline,
     "int8": section_int8,
@@ -797,6 +876,7 @@ SECTIONS = {
     "tta": section_tta,
     "pipeline": section_pipeline,
     "pipeline_int8act": section_pipeline_int8act,
+    "pipeline_lat1": section_pipeline_lat1,
 }
 
 
@@ -956,7 +1036,7 @@ def main():
     # it is skipped without costing any twice-validated metric
     for name in ("train", "decode_fused1", "decode_fused32",
                  "decode_host", "pipeline", "canonical", "int8act",
-                 "int8", "tta", "pipeline_int8act"):
+                 "int8", "tta", "pipeline_int8act", "pipeline_lat1"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
