@@ -5,7 +5,7 @@
 test:
 	python -m pytest tests/ -q
 
-test-quick:  # quick lane: skips @pytest.mark.slow (full suite ~17 min, this <5)
+test-quick:  # quick lane: skips @pytest.mark.slow (full suite ~17 min, this ~6)
 	python -m pytest tests/ -q -m "not slow"
 
 test-cli:  # end-to-end subprocess drives of the entry scripts (slow)

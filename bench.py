@@ -77,8 +77,10 @@ SECTION_TIMEOUT = {
     "decode_host": 300,
     "canonical": 360,
     "tta": 420,
-    "pipeline": 460,
-    "pipeline_int8act": 560,
+    # two-rung sections (bs64 flushed + bounded bs128 upside): worst
+    # case ~150 s bs64 compile + run + a full 380 s upside deadline
+    "pipeline": 620,
+    "pipeline_int8act": 620,
     "pipeline_lat1": 420,
 }
 
@@ -743,11 +745,13 @@ def _section_pipeline_impl(int8_act):
 
     # lap ladder x batch fallbacks, each rung's compile bounded so a
     # Mosaic wedge degrades (next rung) instead of erasing the metric.
-    # int8_act: the combined int8+decode program's bs128 compile blows
-    # past 380 s (measured: >600 s; bs64 is 90 s) — land the reliable
-    # bs64 number FIRST and flush it, then attempt bs128 as pure
-    # upside within the same section.
-    bss = (64, 128) if int8_act else (128, 64)
+    # Both variants land the reliable bs64 number FIRST and flush it,
+    # then attempt bs128 as pure upside within the same section: the
+    # combined forward+decode program's bs128 compile is service-
+    # variable (int8act: >600 s observed, bs64 90 s; bf16: 113 s one
+    # battery, >380 s the next) — bs128-first cost the whole bf16
+    # section in the 2026-08-19 battery.
+    bss = (64, 128)
     out = {}
     for lap in _bench_lap_ladder():
         for bs in bss:
@@ -765,7 +769,7 @@ def _section_pipeline_impl(int8_act):
                     peak_tflops=PEAK_TOPS_INT8 if int8_act
                     else PEAK_TFLOPS_BF16))
                 flush_metric(out)
-                if int8_act and bs != bss[-1]:
+                if bs != bss[-1]:
                     continue  # upside attempt at the next batch size
                 return out
             except Exception as e:
@@ -1034,9 +1038,16 @@ def main():
     # showcase, not the asked-for numbers
     # pipeline_int8act runs LAST: pure upside — if the budget runs out
     # it is skipped without costing any twice-validated metric
+    # every metric tied to a VERDICT done-criterion runs BEFORE the r4
+    # upside sections: canonical (r3 item 1), int8act (item 5's >=550
+    # target), tta (item 4's logged img/s) all precede the pipeline
+    # composition benches, whose bs128 compile showed 113 s -> >380 s
+    # variance on the tunneled compile service (2026-08-19 battery) —
+    # a double timeout there must not starve an asked-for number
     for name in ("train", "decode_fused1", "decode_fused32",
-                 "decode_host", "pipeline", "canonical", "int8act",
-                 "int8", "tta", "pipeline_int8act", "pipeline_lat1"):
+                 "decode_host", "canonical", "int8act", "tta",
+                 "int8", "pipeline", "pipeline_int8act",
+                 "pipeline_lat1"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
