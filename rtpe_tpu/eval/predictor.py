@@ -52,6 +52,7 @@ class PosePredictor:
                  int8_act: bool = False,
                  calibration_images: Optional[Sequence] = None,
                  allow_synthetic_calibration: bool = False,
+                 act_scales=None,
                  mesh=None,
                  spatial_mesh=None,
                  fused_decode: Optional[bool] = None):
@@ -70,6 +71,16 @@ class PosePredictor:
         normalized batch produces working but unvalidated scales, and
         silently serving with them is exactly the failure mode the
         gate exists to prevent.
+
+        ``act_scales`` — a precomputed activation-scale set: either
+        the dict from ``calibrate_act_scales`` (exposed on this object
+        as ``self.act_scales`` after an int8 init) or a path to a file
+        written by ``models.save_act_scales``.  Skips the calibration
+        forward entirely — the production pattern is calibrate once,
+        ``save_act_scales`` next to the weights, and construct every
+        serving process from the file (no calibration corpus needed
+        at load time).  Mutually exclusive with
+        ``calibration_images``.
 
         ``int8_act=True`` (requires ``int8``) additionally stores the
         inter-layer activations as int8 (consumer-scale static
@@ -111,17 +122,23 @@ class PosePredictor:
         self.fused_decode = bool(fused_decode)
         self.with_flip = with_flip
         self.scales = tuple(scales)
+        self.act_scales = None  # set by an int8 packed init
         if int8 and not packed:
             raise ValueError("int8=True requires packed=True")
         if int8_act and not int8:
             raise ValueError("int8_act=True requires int8=True")
-        if int8 and calibration_images is None \
+        if act_scales is not None and calibration_images is not None:
+            raise ValueError(
+                "act_scales and calibration_images are mutually "
+                "exclusive: precomputed scales skip calibration")
+        if int8 and calibration_images is None and act_scales is None \
                 and not allow_synthetic_calibration:
             raise ValueError(
                 "int8=True without calibration_images uses synthetic "
                 "random-batch activation scales — unvalidated numerics."
-                " Pass real calibration_images, or opt in explicitly "
-                "with allow_synthetic_calibration=True")
+                " Pass real calibration_images (or precomputed "
+                "act_scales), or opt in explicitly with "
+                "allow_synthetic_calibration=True")
         if spatial_mesh is not None:
             if packed or mesh is not None:
                 raise ValueError(
@@ -149,21 +166,37 @@ class PosePredictor:
             cfg = model.cfg
             pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
             if int8:
-                # one fixed calibration shape: each distinct shape
-                # recompiles the (CPU) capture forward
-                hw = max(64, min(input_size, 320))
-                if calibration_images is not None:
-                    # same range handling as predict(): users naturally
-                    # pass the frames they serve (often uint8)
-                    calib = [resize_bilinear(
-                        jnp.asarray(normalize_image(
-                            _to_unit_rgb(im)))[None],
-                        (hw, hw), align_corners=False)
-                        for im in calibration_images]
+                if act_scales is not None:
+                    if not isinstance(act_scales, dict):
+                        from ..models.hrnet_packed import \
+                            load_act_scales
+                        act_scales = load_act_scales(act_scales)
+                    missing = [k for k in pk if k not in act_scales]
+                    if missing:
+                        raise ValueError(
+                            f"act_scales is missing {len(missing)} of "
+                            f"{len(pk)} conv entries (e.g. "
+                            f"{missing[:3]}): scale file from a "
+                            f"different config or percentile run?")
+                    scales_d = act_scales
                 else:
-                    calib = [jax.random.normal(
-                        jax.random.PRNGKey(0), (1, hw, hw, 3))]
-                scales_d = calibrate_act_scales(pk, calib, cfg)
+                    # one fixed calibration shape: each distinct shape
+                    # recompiles the (CPU) capture forward
+                    hw = max(64, min(input_size, 320))
+                    if calibration_images is not None:
+                        # same range handling as predict(): users
+                        # naturally pass the frames they serve (often
+                        # uint8)
+                        calib = [resize_bilinear(
+                            jnp.asarray(normalize_image(
+                                _to_unit_rgb(im)))[None],
+                            (hw, hw), align_corners=False)
+                            for im in calibration_images]
+                    else:
+                        calib = [jax.random.normal(
+                            jax.random.PRNGKey(0), (1, hw, hw, 3))]
+                    scales_d = calibrate_act_scales(pk, calib, cfg)
+                self.act_scales = dict(scales_d)
                 # one jitted program (per-layer dispatches are slow on
                 # remote backends)
                 pk = jax.jit(lambda p: quantize_packed(p, scales_d))(pk)

@@ -260,6 +260,53 @@ def quantize_packed(pk: PackedParams, act_scales: Dict[str, float]
     return out
 
 
+_ACT_SCALES_FORMAT = "rtpe_tpu-act-scales-v1"
+
+
+def save_act_scales(path, act_scales: Dict[str, float]) -> None:
+    """Persist an activation-scale set from
+    :func:`calibrate_act_scales` as JSON.
+
+    Calibration is a load-time pass over real images; a production
+    fleet calibrates ONCE, ships the scale file next to the weights,
+    and every serving process skips both the calibration forward and
+    the need to have the calibration corpus mounted (the reference has
+    no int8 path at all; torch's PTQ equivalent pickles observer state
+    inside the model).  Atomic write: the file is either the complete
+    scale set or absent."""
+    import json
+    import os
+
+    payload = {"format": _ACT_SCALES_FORMAT,
+               "num_entries": len(act_scales),
+               "scales": {k: float(v) for k, v in act_scales.items()}}
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_act_scales(path) -> Dict[str, float]:
+    """Load a scale set written by :func:`save_act_scales`; validates
+    the format marker and entry count so a truncated or foreign JSON
+    fails loudly instead of quantizing with garbage ranges."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if not isinstance(payload, dict) \
+            or payload.get("format") != _ACT_SCALES_FORMAT:
+        raise ValueError(
+            f"{path}: not an activation-scale file (expected "
+            f"format={_ACT_SCALES_FORMAT!r}, got "
+            f"{payload.get('format') if isinstance(payload, dict) else type(payload).__name__!r})")
+    scales = payload.get("scales")
+    if not isinstance(scales, dict) \
+            or len(scales) != payload.get("num_entries"):
+        raise ValueError(f"{path}: truncated or inconsistent scale set")
+    return {k: float(v) for k, v in scales.items()}
+
+
 # ---------------------------------------------------------------- forward
 #
 # Every convolution in the packed graph goes through _apply, which

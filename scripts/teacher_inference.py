@@ -59,6 +59,14 @@ def main():
                              "first input images (requires --packed; "
                              "quantized numerics — validate before "
                              "trusting a production corpus)")
+    parser.add_argument("--act_scales", default=None,
+                        help="Activation-scale JSON for --int8 "
+                             "(models.save_act_scales). If the file "
+                             "exists it is used INSTEAD of calibrating "
+                             "(a fleet calibrates once and ships the "
+                             "file); if it does not, the scales "
+                             "calibrated on this corpus are saved "
+                             "there for the next process.")
     args = parser.parse_args()
     if args.int8 and not args.packed:
         parser.error("--int8 requires --packed")
@@ -120,17 +128,28 @@ def main():
         pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
         if args.int8:
             from rtpe_tpu.models import (calibrate_act_scales,
-                                         quantize_packed)
+                                         load_act_scales,
+                                         quantize_packed,
+                                         save_act_scales)
             import time as _time
             t0 = _time.time()
-            # calibrate on REAL inputs from this very corpus (the
-            # synthetic-calibration caveat does not apply here)
-            calib_paths = args.input_paths[:4]
-            calib = [load(p)[None] for p in calib_paths]
-            scales = calibrate_act_scales(pk, calib, cfg)
+            if args.act_scales and os.path.exists(args.act_scales):
+                scales = load_act_scales(args.act_scales)
+                log.info(f"int8 scales loaded from {args.act_scales} "
+                         f"({len(scales)} entries; calibration "
+                         f"skipped)")
+            else:
+                # calibrate on REAL inputs from this very corpus (the
+                # synthetic-calibration caveat does not apply here)
+                calib_paths = args.input_paths[:4]
+                calib = [load(p)[None] for p in calib_paths]
+                scales = calibrate_act_scales(pk, calib, cfg)
+                log.info(f"int8 calibration on {len(calib)} corpus "
+                         f"images: {_time.time() - t0:.1f}s")
+                if args.act_scales:
+                    save_act_scales(args.act_scales, scales)
+                    log.info(f"int8 scales saved to {args.act_scales}")
             pk = jax.jit(lambda p: quantize_packed(p, scales))(pk)
-            log.info(f"int8 calibration on {len(calib)} corpus images: "
-                     f"{_time.time() - t0:.1f}s")
         fwd = jax.jit(lambda x: packed_forward(pk, x, cfg))
         log.info("serving path: packed" + (" + int8" if args.int8
                                            else " bf16"))

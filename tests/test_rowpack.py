@@ -606,3 +606,108 @@ def test_int8_decode_on_trained_weights(tmp_path):
         for key in ("AP", "Ap .5"):
             assert abs(stats_q[key] - stats_f[key]) <= 0.1, (
                 label, key, stats_q[key], stats_f[key])
+
+
+def _tiny_cfg():
+    from rtpe_tpu.models import HRNetConfig, StageCfg
+
+    return HRNetConfig(
+        num_joints=17,
+        stage2=StageCfg(1, 2, "BASIC", (1, 1), (8, 16)),
+        stage3=StageCfg(1, 3, "BASIC", (1, 1, 1), (8, 16, 32)),
+        stage4=StageCfg(1, 4, "BASIC", (1, 1, 1, 1), (8, 16, 32, 64)),
+        deconv_chans=(17,), deconv_num_blocks=1)
+
+
+def test_act_scales_save_load_roundtrip(tmp_path, rng):
+    """Calibration-scale persistence (``save_act_scales`` /
+    ``load_act_scales``): the production int8 pattern is calibrate
+    once, ship the JSON next to the weights, and quantize every
+    serving process from the file — the quantized params must be
+    IDENTICAL either way, and a foreign/truncated file must fail
+    loudly (the reference has no int8 path; torch PTQ pickles observer
+    state inside the model object)."""
+    import json
+
+    from rtpe_tpu.models import (
+        PoseHigherHRNet,
+        calibrate_act_scales,
+        load_act_scales,
+        pack_w48_params,
+        packed_forward,
+        quantize_packed,
+        save_act_scales,
+    )
+
+    cfg = _tiny_cfg()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    pk = pack_w48_params(v, cfg)
+    xs = [jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))]
+    scales = calibrate_act_scales(pk, xs, cfg)
+
+    path = tmp_path / "act_scales.json"
+    save_act_scales(path, scales)
+    loaded = load_act_scales(path)
+    assert loaded == {k: float(val) for k, val in scales.items()}
+
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    c1, r1 = packed_forward(quantize_packed(pk, scales), x, cfg)
+    c2, r2 = packed_forward(quantize_packed(pk, loaded), x, cfg)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    # foreign JSON -> loud format error
+    bad = tmp_path / "foreign.json"
+    bad.write_text(json.dumps({"scales": loaded}))
+    with pytest.raises(ValueError, match="not an activation-scale"):
+        load_act_scales(bad)
+    # truncated scale set -> loud error
+    payload = json.loads(path.read_text())
+    payload["scales"].popitem()
+    trunc = tmp_path / "trunc.json"
+    trunc.write_text(json.dumps(payload))
+    with pytest.raises(ValueError, match="truncated"):
+        load_act_scales(trunc)
+
+
+def test_predictor_act_scales_file(tmp_path, rng):
+    """``PosePredictor(act_scales=<file>)`` skips calibration and
+    serves identically to the calibrate-at-init predictor it was saved
+    from; a scale file from a different config fails with the
+    missing-entries message, and act_scales excludes
+    calibration_images."""
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.models import PoseHigherHRNet, save_act_scales
+
+    cfg = _tiny_cfg()
+    model = PoseHigherHRNet(cfg=cfg, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+
+    pred1 = PosePredictor(model, v, input_size=96, packed=True,
+                          int8=True, calibration_images=[img])
+    assert isinstance(pred1.act_scales, dict) and pred1.act_scales
+    path = tmp_path / "scales.json"
+    save_act_scales(path, pred1.act_scales)
+
+    pred2 = PosePredictor(model, v, input_size=96, packed=True,
+                          int8=True, act_scales=str(path))
+    assert pred2.act_scales == {k: float(val) for k, val
+                                in pred1.act_scales.items()}
+    people1, scores1 = pred1.predict(img)
+    people2, scores2 = pred2.predict(img)
+    assert len(people1) == len(people2)
+    for a, b in zip(people1, people2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a scale set missing conv entries names the gap
+    partial = dict(list(pred1.act_scales.items())[:3])
+    with pytest.raises(ValueError, match="missing"):
+        PosePredictor(model, v, input_size=96, packed=True, int8=True,
+                      act_scales=partial)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        PosePredictor(model, v, input_size=96, packed=True, int8=True,
+                      act_scales=partial, calibration_images=[img])
