@@ -172,6 +172,24 @@ def step_packed_parity(res, args, teacher):
                f"rel={worst['int8']:.3f}")
     res.record("int8_act_forward_drift", worst["int8_act"] < 0.08,
                f"rel={worst['int8_act']:.3f}")
+    # scale-file round trip on the REAL calibration: persisted scales
+    # must reproduce the quantized params bit-exactly (the production
+    # calibrate-once/ship-the-file path, models.save_act_scales)
+    import tempfile
+
+    from rtpe_tpu.models.hrnet_packed import (load_act_scales,
+                                              save_act_scales)
+    with tempfile.NamedTemporaryFile(suffix=".json") as f:
+        save_act_scales(f.name, scales)
+        pkq2 = jax.jit(lambda p: quantize_packed(
+            p, load_act_scales(f.name)))(pk32)
+    same = all(
+        np.array_equal(np.asarray(getattr(pkq[k], f2)),
+                       np.asarray(getattr(pkq2[k], f2)))
+        for k in pkq for f2 in ("kernel", "alpha", "inv_sx")
+        if getattr(pkq[k], f2) is not None)
+    res.record("act_scales_file_roundtrip", same,
+               f"{len(scales)} entries")
 
 
 def _have_coco(args):
