@@ -72,8 +72,11 @@ SECTION_TIMEOUT = {
     "int8": 420,
     "int8act": 420,
     "train": 460,
-    "decode_fused1": 420,
-    "decode_fused32": 420,
+    # healthy fused-decode sections finish in <40 s; the timeout only
+    # bounds a wedged compile service, and the orchestrator's fresh-
+    # process retry is the actual cure — keep the wasted slot small
+    "decode_fused1": 320,
+    "decode_fused32": 320,
     "decode_host": 300,
     "canonical": 360,
     "tta": 420,
@@ -1046,15 +1049,25 @@ def main():
     # a double timeout there must not starve an asked-for number
     for name in ("train", "decode_fused1", "decode_fused32",
                  "decode_host", "canonical", "int8act", "tta",
-                 "int8", "pipeline", "pipeline_int8act",
-                 "pipeline_lat1"):
+                 "int8", "pipeline", "pipeline_lat1",
+                 "pipeline_int8act"):
         if time.time() > deadline:
             log(f"[{name}] skipped (budget)")
             continue
         got = _run_section_subprocess(name)
-        if got is None:  # one retry per extra section; the fused-
-            # decode retry pins the XLA lap rung so a mega-kernel
-            # wedge degrades the number instead of erasing it
+        if got is None and name.startswith("decode_fused"):
+            # the compile-service wedge is per-PROCESS sticky (verify
+            # notes): a kernel-rung _CompileTimeout usually means the
+            # process is wedged, not the kernel — so the first retry
+            # re-runs the full lap=auto ladder in a FRESH process
+            # (2026-08-19 battery: the in-process xla rung hung in the
+            # same wedged process, and the old xla-pinned retry then
+            # recorded 14.19 ms/img where the healthy kernel does 0.54)
+            log(f"[{name}] retrying once (fresh process, lap=auto)")
+            got = _run_section_subprocess(name)
+        if got is None:  # last resort for fused decode: pin the XLA
+            # rung so a genuine Mosaic regression still degrades the
+            # number instead of erasing it
             log(f"[{name}] retrying once")
             env2 = ({"RTPE_BENCH_LAP": "xla"}
                     if name.startswith("decode_fused") else None)
