@@ -90,7 +90,19 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
     vals = rng.uniform(0.2, 1.0, size=(1, num_joints, max_num_people)
                        ).astype(np.float32)
     vals[0, :, max(1, max_num_people * 2 // 5):] = -1.0  # sub-threshold
-    try:
+    # the callers (decode_full / decode_full_batch) are themselves
+    # jitted, so this runs at TRACE time: without an escape every op
+    # here would be lifted into the ambient trace and int(n_k[0])
+    # would raise ConcretizationTypeError — i.e. the gate would ALWAYS
+    # "error" on TPU and silently demote auto off the mega-kernel
+    # (found 2026-08-19; CPU CI skips the gate and the bench disables
+    # it, so only production TPU decode was affected).
+    # `jax.ensure_compile_time_eval()` is NOT a usable escape on this
+    # jax (0.9.0): it inlines inner jits and evaluates pallas interpret
+    # mode eagerly, where `program_id` has no eval rule.  JAX trace
+    # contexts are thread-local, so a worker thread runs the probe
+    # outside any ambient trace with full dispatch semantics.
+    def _probe():
         if solver == "lockstep":
             p_k, n_k = match_by_tag_lockstep(
                 jnp.asarray(tags), jnp.asarray(locs), jnp.asarray(vals),
@@ -105,9 +117,14 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
             jnp.asarray(tags[0]), jnp.asarray(locs[0]),
             jnp.asarray(vals[0]), max_num_people=max_num_people,
             p_max=p_max, lap="xla")
-        ok = bool(int(n_k[0]) == int(n_x)
-                  and np.allclose(np.asarray(p_k[0]), np.asarray(p_x),
-                                  atol=1e-4))
+        return bool(int(n_k[0]) == int(n_x)
+                    and np.allclose(np.asarray(p_k[0]), np.asarray(p_x),
+                                    atol=1e-4))
+
+    try:
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+            ok = ex.submit(_probe).result()
         if not ok:
             warnings.warn(
                 "grouping mega-kernel failed the on-device parity "

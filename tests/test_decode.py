@@ -550,6 +550,39 @@ def test_kernel_selfcheck_interpret_and_auto_demotion():
         assert fused._resolve_auto_lap(30, 90, 17, 1) == "xla"
 
 
+def test_kernel_selfcheck_runs_under_an_outer_trace():
+    """The gate's callers (decode_full / decode_full_batch) are jitted,
+    so the probe ALWAYS executes at trace time — without the
+    compile-time-eval escape its concrete int()/allclose() raised
+    ConcretizationTypeError, and the except-arm 'demoted' auto off the
+    mega-kernel on every production TPU decode while CPU CI (gate
+    skipped) and the bench (RTPE_LAP_SELFCHECK=0) stayed green
+    (found 2026-08-19).  The probe must return a genuine verdict, not
+    warn, when invoked under a trace."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtpe_tpu.decode import fused
+
+    key = (8, 16, 4, 1, True, "lockstep")
+    fused._SELFCHECK_CACHE.pop(key, None)
+    got = {}
+
+    def f(x):
+        got["ok"] = fused.kernel_selfcheck(
+            max_num_people=8, p_max=16, num_joints=4, d=1,
+            interpret=True, solver="lockstep")
+        return x + 1.0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any demotion warning fails
+        jax.jit(f)(jnp.zeros(()))
+    assert got["ok"] is True
+    assert fused._SELFCHECK_CACHE[key] is True
+
+
 def test_group_kernel_greedy_matches_lap_on_separated_scenes():
     """The greedy assignment solver (VERDICT r3 item 3: the
     single-image latency path) equals the exact LAP kernel and
