@@ -123,8 +123,18 @@ def kernel_selfcheck(max_num_people: int = 30, p_max: int = 90,
 
     try:
         import concurrent.futures
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-            ok = ex.submit(_probe).result()
+        # bounded: the axon compile service can wedge a process at any
+        # compile (verify notes); an unbounded result() would turn the
+        # probe into an indefinite hang on the user's first decode.
+        # shutdown(wait=False) so a hung probe thread is abandoned,
+        # not joined.
+        budget = float(os.environ.get("RTPE_LAP_SELFCHECK_TIMEOUT_S",
+                                      "180"))
+        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        try:
+            ok = ex.submit(_probe).result(timeout=budget)
+        finally:
+            ex.shutdown(wait=False)
         if not ok:
             warnings.warn(
                 "grouping mega-kernel failed the on-device parity "

@@ -583,6 +583,40 @@ def test_kernel_selfcheck_runs_under_an_outer_trace():
     assert fused._SELFCHECK_CACHE[key] is True
 
 
+def test_kernel_selfcheck_timeout_demotes_instead_of_hanging(monkeypatch):
+    """The axon compile service can wedge a process at any compile; an
+    unbounded probe would turn the one-time gate into an indefinite
+    hang on the user's FIRST production decode.  A probe exceeding
+    RTPE_LAP_SELFCHECK_TIMEOUT_S must demote (warn + False) promptly,
+    abandoning — not joining — the hung worker thread."""
+    import time
+    import warnings
+
+    from rtpe_tpu.decode import fused
+
+    key = (8, 16, 4, 1, True, "greedy")
+    fused._SELFCHECK_CACHE.pop(key, None)
+    monkeypatch.setenv("RTPE_LAP_SELFCHECK_TIMEOUT_S", "0.5")
+
+    orig = fused.pallas_group.match_by_tag_kernel
+
+    def slow(*a, **k):
+        time.sleep(3)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fused.pallas_group, "match_by_tag_kernel", slow)
+    t0 = time.time()
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        ok = fused.kernel_selfcheck(max_num_people=8, p_max=16,
+                                    num_joints=4, d=1, interpret=True,
+                                    solver="greedy")
+    assert ok is False
+    assert time.time() - t0 < 2.5  # returned at the budget, not at 3 s
+    assert any("demoted" in str(w.message) for w in ws)
+    fused._SELFCHECK_CACHE.pop(key, None)  # don't poison other tests
+
+
 def test_group_kernel_greedy_matches_lap_on_separated_scenes():
     """The greedy assignment solver (VERDICT r3 item 3: the
     single-image latency path) equals the exact LAP kernel and
