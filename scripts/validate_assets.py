@@ -360,6 +360,41 @@ def step_greedy_decode_parity(res, args, teacher):
                f"greedy/exact {worst_ratio:.3f} (single + batch)")
 
 
+def step_stream_consistency(res, args, teacher):
+    """The realtime streaming surface on REAL weights:
+    ``PosePredictor.stream`` (the pipelined path behind
+    ``scripts/realtime_demo.py``) must yield exactly the per-frame
+    results of ``predict`` — pipelining may only overlap, never
+    change, the numbers."""
+    if teacher is None:
+        res.skip("stream_matches_predict", "needs the statedict")
+        return
+    imgs = sorted(glob.glob(os.path.join(args.data_dir, "*.jpg")))[:2]
+    if not imgs:
+        res.skip("stream_matches_predict", "no data/*.jpg")
+        return
+    import numpy as np
+    from PIL import Image
+
+    from rtpe_tpu.eval.predictor import PosePredictor
+
+    model, variables = teacher
+    pred = PosePredictor(model, variables, input_size=320, packed=True)
+    frames = [np.asarray(Image.open(f).convert("RGB")) for f in imgs]
+    streamed = list(pred.stream(iter(frames)))
+    ok, detail = len(streamed) == len(frames), ""
+    for frame, (people, _) in zip(frames, streamed):
+        p1, _ = pred.predict(frame)
+        if len(people) != len(p1) or not all(
+                np.allclose(np.asarray(a), np.asarray(b),
+                            rtol=1e-4, atol=1e-4)
+                for a, b in zip(people, p1)):
+            ok, detail = False, "per-frame people mismatch"
+            break
+    res.record("stream_matches_predict", ok,
+               detail or f"({len(frames)} frames, packed)")
+
+
 def main():
     p = argparse.ArgumentParser("validate_assets")
     p.add_argument("-m", "--model_path",
@@ -384,6 +419,7 @@ def main():
     teacher = step_teacher_import(res, args)
     step_packed_parity(res, args, teacher)
     step_greedy_decode_parity(res, args, teacher)
+    step_stream_consistency(res, args, teacher)
     step_decode_stack_ap(res, args)
     step_teacher_coco_ap(res, args)
 

@@ -257,3 +257,23 @@ def test_dataloader_demo_cli(cli_coco, tmp_path):
         "--save_dir", str(tmp_path)])
     out = res.stdout + res.stderr
     assert "AP" in out
+
+
+def test_realtime_demo_cli(cli_coco, tmp_path):
+    """Streamed frames -> one JSON stats line + annotated dumps."""
+    img_dir = os.path.join(cli_coco, "images", "val2017")
+    frames = [os.path.join(img_dir, f)
+              for f in sorted(os.listdir(img_dir))][:3]
+    out_dir = str(tmp_path / "annotated")
+    res = _run("realtime_demo.py", [
+        "-I", *frames, "-m", str(tmp_path / "absent.pth"),
+        "--allow_random_init", "--loops", "2", "--input_size", "128",
+        "-o", out_dir, "--save_frames", "2"])
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["frames"] == 6
+    assert stats["path"] == "packed"
+    assert stats["lat_p50_ms"] > 0 and stats["fps_sustained"] > 0
+    # first frame carries the compile; steady-state must exclude it
+    assert stats["first_frame_ms"] > stats["lat_p50_ms"]
+    assert sorted(os.listdir(out_dir)) == ["frame00000.png",
+                                           "frame00001.png"]
