@@ -1004,8 +1004,12 @@ def main():
     # 2100 -> 2700 (r4): room for the last-slot pipeline_int8act
     # showcase; sections still flush per-metric, so a driver kill
     # mid-battery costs only the sections not yet run
+    # 2700 -> 3300 (late r4): the 22:08 battery's compile service ran
+    # ~3x slower than the 12:10 one (headline compile 99 s -> 325 s)
+    # and the budget expired before the pipeline sections — slack
+    # absorbs service variance; a driver SIGTERM still flushes
     deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "2700"))
+        os.environ.get("RTPE_BENCH_BUDGET_S", "3300"))
 
     headline = None
     extra = {}
@@ -1047,6 +1051,10 @@ def main():
     # composition benches, whose bs128 compile showed 113 s -> >380 s
     # variance on the tunneled compile service (2026-08-19 battery) —
     # a double timeout there must not starve an asked-for number
+    # sections whose metric closes a VERDICT done-criterion; the
+    # pipeline/int8 showcases are upside and never extend the run
+    ASK_TIED = {"train", "decode_fused1", "decode_fused32",
+                "decode_host", "canonical", "int8act", "tta"}
     for name in ("train", "decode_fused1", "decode_fused32",
                  "decode_host", "canonical", "int8act", "tta",
                  "int8", "pipeline", "pipeline_lat1",
@@ -1072,6 +1080,17 @@ def main():
             env2 = ({"RTPE_BENCH_LAP": "xla"}
                     if name.startswith("decode_fused") else None)
             got = _run_section_subprocess(name, env_extra=env2)
+        if got is None and name in ASK_TIED \
+                and time.time() < deadline + 900:
+            # ask-tied metrics earn a second retry: the wedge is
+            # per-launch ~50% on bad days (2026-08-19 battery lost
+            # int8act to two consecutive wedges), so one more launch
+            # raises the section's survival from 75% to ~88%; the
+            # +900 s grace can only extend the run when a VERDICT
+            # done-criterion number is still missing, and a driver
+            # SIGTERM still flushes everything collected
+            log(f"[{name}] second retry (ask-tied metric)")
+            got = _run_section_subprocess(name)
         if got is not None:
             extra.update(got)
 

@@ -344,3 +344,44 @@ def test_bench_device_probe_detects_cpu():
         _os.environ.clear()
         _os.environ.update(old)
     assert alive and plat == "cpu", (alive, plat)
+
+
+def test_bench_ask_tied_sections_get_second_retry(monkeypatch, capsys):
+    """Orchestrator retry policy: an ask-tied section (a VERDICT
+    done-criterion metric) that loses two launches to compile-service
+    wedges gets a THIRD; upside sections (pipeline*) do not extend the
+    run.  Drives bench.main() with the subprocess layer stubbed."""
+    import importlib.util
+    import json as _json
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "bench_rt", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = {}
+
+    def fake_run(name, env_extra=None):
+        calls[name] = calls.get(name, 0) + 1
+        if name == "headline":
+            return {"value": 100.0, "bs": 128, "headline_extra": 1.0}
+        if name == "int8act":   # wedge twice, land on the 3rd launch
+            return ({"int8act_forward_img_s_bs128": 555.0}
+                    if calls[name] >= 3 else None)
+        if name == "pipeline":  # upside: wedges must NOT earn retry #2
+            return None
+        return {f"{name}_ok": 1.0}
+
+    monkeypatch.setattr(bench, "_run_section_subprocess", fake_run)
+    monkeypatch.setattr(bench, "_probe_devices", lambda **kw: (True, "cpu"))
+    monkeypatch.setenv("RTPE_BENCH_BUDGET_S", "3300")
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    result = _json.loads(line)
+    assert result["value"] == 100.0
+    assert result["extra"]["int8act_forward_img_s_bs128"] == 555.0
+    assert result["extra"]["headline_extra"] == 1.0
+    assert calls["int8act"] == 3   # second retry fired (ask-tied)
+    assert calls["pipeline"] == 2  # upside sections keep one retry
+    assert calls["train"] == 1     # healthy sections run once
