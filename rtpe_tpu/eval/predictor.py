@@ -221,6 +221,32 @@ class PosePredictor:
         else:
             self._fwd_sharded = None
 
+    # ------------------------------------------------------ constructors
+
+    @classmethod
+    def from_artifact(cls, path: str, **overrides) -> "PosePredictor":
+        """Construct a serving process from ONE artifact directory
+        (``io/serving.py``): weights, calibrated int8 scales, model
+        config, and predictor settings all ship together — no torch,
+        no calibration corpus, no config code at load time.  Keyword
+        overrides win over the artifact's recorded settings (e.g.
+        ``from_artifact(d, int8=False)`` serves the same weights in
+        bf16; ``dtype=`` sets the canonical model's compute dtype,
+        default bf16 to match ``get_hrnet_w48_teacher``)."""
+        import jax.numpy as _jnp
+
+        from ..io.serving import load_serving_artifact
+        from ..models.hrnet import PoseHigherHRNet
+
+        art = load_serving_artifact(path)
+        dtype = overrides.pop("dtype", _jnp.bfloat16)
+        model = PoseHigherHRNet(cfg=art.cfg, dtype=dtype)
+        kwargs = dict(art.predictor_kwargs)
+        kwargs.update(overrides)
+        if not kwargs.get("int8"):
+            kwargs.pop("act_scales", None)  # bf16 override drops scales
+        return cls(model, art.variables, **kwargs)
+
     # ------------------------------------------------------ shared path
 
     def _preprocess(self, image_rgb):

@@ -395,6 +395,50 @@ def step_stream_consistency(res, args, teacher):
                detail or f"({len(frames)} frames, packed)")
 
 
+def step_artifact_roundtrip(res, args, teacher):
+    """Deployable artifact on REAL weights: export (int8 scales
+    calibrated on the bundled jpgs) -> ``from_artifact`` -> the loaded
+    process's forward must be bit-identical to the exporting one
+    (``io/serving.py``; the production hand-off path)."""
+    if teacher is None:
+        res.skip("artifact_roundtrip_real_weights", "needs the statedict")
+        return
+    imgs = sorted(glob.glob(os.path.join(args.data_dir, "*.jpg")))[:2]
+    if not imgs:
+        res.skip("artifact_roundtrip_real_weights", "no data/*.jpg")
+        return
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from rtpe_tpu.eval.predictor import PosePredictor
+    from rtpe_tpu.io import export_serving_artifact
+
+    model, variables = teacher
+    calib = [np.asarray(Image.open(p).convert("RGB")) for p in imgs]
+    ref = PosePredictor(model, variables, input_size=320, packed=True,
+                        int8=True, calibration_images=calib,
+                        fused_decode=False)
+    with tempfile.TemporaryDirectory() as td:
+        d = export_serving_artifact(td, variables, model.cfg,
+                                    input_size=320, packed=True,
+                                    int8=True,
+                                    act_scales=ref.act_scales)
+        got = PosePredictor.from_artifact(d, fused_decode=False)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .rand(1, 256, 256, 3).astype(np.float32))
+        (ca, ra), (cb, rb) = ref._fwd(x), got._fwd(x)
+        ok = (np.array_equal(np.asarray(ca, np.float32),
+                             np.asarray(cb, np.float32))
+              and np.array_equal(np.asarray(ra, np.float32),
+                                 np.asarray(rb, np.float32)))
+    res.record("artifact_roundtrip_real_weights", ok,
+               "(int8, scales shipped in-artifact)")
+
+
 def main():
     p = argparse.ArgumentParser("validate_assets")
     p.add_argument("-m", "--model_path",
@@ -420,6 +464,7 @@ def main():
     step_packed_parity(res, args, teacher)
     step_greedy_decode_parity(res, args, teacher)
     step_stream_consistency(res, args, teacher)
+    step_artifact_roundtrip(res, args, teacher)
     step_decode_stack_ap(res, args)
     step_teacher_coco_ap(res, args)
 

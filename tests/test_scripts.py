@@ -277,3 +277,24 @@ def test_realtime_demo_cli(cli_coco, tmp_path):
     assert stats["first_frame_ms"] > stats["lat_p50_ms"]
     assert sorted(os.listdir(out_dir)) == ["frame00000.png",
                                            "frame00001.png"]
+
+
+def test_export_serving_cli(cli_coco, tmp_path):
+    """Artifact export drive: writes the directory, self-verifies the
+    reload bit-parity, and the artifact reconstructs a predictor with
+    an int8 scale set calibrated on the given images."""
+    img_dir = os.path.join(cli_coco, "images", "val2017")
+    calib = [os.path.join(img_dir, f)
+             for f in sorted(os.listdir(img_dir))][:2]
+    art = str(tmp_path / "artifact")
+    res = _run("export_serving.py", [
+        "-m", str(tmp_path / "absent.pth"), "--allow_random_init",
+        "-o", art, "--input_size", "128",
+        "--int8", "--calib", *calib])
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["verified"] and stats["int8"]
+    assert sorted(os.listdir(art)) == ["act_scales.json", "meta.json",
+                                       "weights.npz"]
+    from rtpe_tpu.eval.predictor import PosePredictor
+    pred = PosePredictor.from_artifact(art, fused_decode=False)
+    assert pred.act_scales and pred.input_size == 128
