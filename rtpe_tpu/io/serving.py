@@ -120,7 +120,13 @@ def export_serving_artifact(out_dir: str, variables, cfg=None, *,
         if collection not in variables:
             continue
         for path, val in flatten_dict(variables[collection]).items():
-            flat[collection + "/" + "/".join(path)] = np.asarray(val)
+            arr = np.asarray(val)
+            if arr.dtype.name == "bfloat16":
+                # npz round-trips bf16 only when ml_dtypes is imported
+                # at load time; widen value-exactly instead (the packed
+                # path re-rounds to bf16 at load, bit-identically)
+                arr = arr.astype(np.float32)
+            flat[collection + "/" + "/".join(path)] = arr
     if not any(k.startswith("params/") for k in flat):
         raise ValueError("variables has no 'params' collection")
 

@@ -144,3 +144,23 @@ def test_load_validates_integrity(tmp_path):
         load_serving_artifact(d)
     with pytest.raises(FileNotFoundError):
         load_serving_artifact(str(tmp_path / "nope"))
+
+
+def test_artifact_bf16_variables_widen_exactly(tmp_path):
+    """bf16 variable leaves are stored widened to f32 (npz has no
+    portable bf16); the packed path re-rounds at load, so serving is
+    still bit-identical to exporting the bf16 tree directly."""
+    cfg = _small_cfg()
+    model, variables = _model_vars(cfg)
+    bf = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32
+        else a, variables)
+    d = export_serving_artifact(str(tmp_path / "art"), bf, cfg,
+                                input_size=128, packed=True)
+    art = load_serving_artifact(d)
+    leaf = jax.tree_util.tree_leaves(art.variables)[0]
+    assert np.asarray(leaf).dtype == np.float32
+    a = PosePredictor(model, bf, input_size=128, packed=True,
+                      fused_decode=False)
+    b = PosePredictor.from_artifact(d, fused_decode=False)
+    _assert_same_serving(a, b)
