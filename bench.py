@@ -84,7 +84,9 @@ SECTION_TIMEOUT = {
     # case ~150 s bs64 compile + run + a full 380 s upside deadline
     "pipeline": 620,
     "pipeline_int8act": 620,
-    "pipeline_lat1": 420,
+    # three rungs (bf16 flushed, int8, int8act), each compile bounded
+    # at 180 s; the per-rung flush salvages whatever lands
+    "pipeline_lat1": 560,
 }
 
 # Where the running section flushes each metric as it lands (set in
@@ -591,7 +593,12 @@ def section_decode_fused32():
                     people, n, scores = decode_full_batch(
                         d, t0_, use_pallas=use_pallas, lap=lap)
                     d = d + (jnp.sum(scores) * 1e-9).astype(d.dtype)
-                    return d, jnp.sum(n)
+                    # consume people too: scores are computed BEFORE
+                    # the refine stage, so summing only n/scores lets
+                    # XLA dead-code-eliminate the refine (~45% of the
+                    # decode pre-cap) and the metric overstates
+                    return d, jnp.sum(people) + jnp.sum(n).astype(
+                        people.dtype)
                 _, outs = jax.lax.scan(body, d0, None, length=SCAN_LEN)
                 return outs
 
@@ -697,15 +704,46 @@ def section_tta():
     cfg, model, variables = _teacher_setup()
     pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
     bs = 64  # doubled to 128 inside tta_forward — the headline batch
+    nj = cfg.num_joints
+
+    def tta_fwd(scales):
+        def fwd(a, x):
+            hm, tags = tta_forward(
+                lambda b: packed_forward(a, b, cfg), x,
+                with_flip=True, scales=scales)
+            # consume BOTH outputs: _scan_throughput's body chains on
+            # the last output only, and tags come from the primary
+            # scale alone — returning the tuple would let XLA dead-
+            # code-eliminate the other scales' forwards and the
+            # heatmap aggregation epilogue (measured: the 2-scale rung
+            # benched identical to flip-only until this sum)
+            return hm + tags[..., :nj]
+        return fwd
+
     log(f"flip-TTA packed forward bs={bs} (dispatch 2x{bs}):")
     cost = {}
-    img_s = _scan_throughput(
-        lambda a, x: tta_forward(
-            lambda b: packed_forward(a, b, cfg), x, with_flip=True),
-        pk, bs, 640, cost_out=cost)
+    img_s = _scan_throughput(tta_fwd((1.0,)), pk, bs, 640,
+                             cost_out=cost)
     log(f"  {img_s:.1f} img/s (flip TTA)")
     out = {"tta_flip_img_s_bs64": round(img_s, 1)}
     out.update(_efficiency_extras(img_s, cost, "tta"))
+    flush_metric(out)
+
+    # upside rung: flip + multi-scale (the legacy full-quality config's
+    # shape, `legacy/valid_ae1dim.py:166-191`) — scales run as separate
+    # full-batch dispatches (640 + 320 px here) with on-device
+    # aggregation; 3 forwards/img total, so ~1/3 the flip-only rate is
+    # the expectation.  Flushed after the ask-tied flip number so a
+    # wedge on the second compile costs only this rung.
+    try:
+        with compile_deadline(240):
+            ms_img_s = _scan_throughput(tta_fwd((1.0, 0.5)), pk, bs,
+                                        640)
+        log(f"  {ms_img_s:.1f} img/s (flip + 2-scale TTA)")
+        out["tta_flip_ms2_img_s_bs64"] = round(ms_img_s, 1)
+        flush_metric(out)
+    except Exception as e:
+        log(f"tta multi-scale rung failed: {str(e)[:160]}")
     return out
 
 
@@ -743,7 +781,12 @@ def _section_pipeline_impl(int8_act):
             people, n, scores = decode_full_batch(
                 hms, tags, use_pallas=use_pallas and lap != "xla",
                 lap=lap)
-            return people, n, scores
+            # one combined live output: _scan_throughput chains on the
+            # LAST output only, and scores are computed before the
+            # refine stage — returning the tuple would let XLA
+            # dead-code-eliminate the refine out of the benched program
+            return scores + (jnp.sum(people) * 1e-9
+                             + jnp.sum(n).astype(jnp.float32))
         return e2e
 
     # lap ladder x batch fallbacks, each rung's compile bounded so a
@@ -838,12 +881,23 @@ def section_pipeline_lat1():
         return loop
 
     out = {}
-    for name, pk, int8_act in (
-            ("bf16", pk_bf16, False),
-            ("int8act", None, True)):
+    pk_q = None  # quantized once, shared by the int8/int8act rungs
+    # int8 (weights-only) sits between: at bs=1 the act-quantize ops
+    # of int8act are pure overhead (31.5 vs bf16's 22.4 ms in the r4
+    # batteries), but int8 WEIGHTS halve the dominant stream — weight
+    # DMAs — without adding activation passes, so it is the realtime
+    # candidate
+    for name, quantize, int8_act in (
+            ("bf16", False, False),
+            ("int8", True, False),
+            ("int8act", True, True)):
         try:
-            if int8_act:
-                pk = _quantized_packed_params(cfg, pk_bf16)
+            if quantize:
+                if pk_q is None:
+                    pk_q = _quantized_packed_params(cfg, pk_bf16)
+                pk = pk_q
+            else:
+                pk = pk_bf16
             with compile_deadline(180):
                 lat_c = jax.jit(make_loop(pk, int8_act)
                                 ).lower(x0).compile()

@@ -79,6 +79,15 @@ def tta_forward(apply_fn: Callable, img: jax.Array,
     tag_list: List[jax.Array] = []
     n_contrib = 0
 
+    def to_base(t, base_hw):
+        # same-shape bilinear resize is the identity (scale 1, taps at
+        # integer positions) — skip it: at scale 1.0 both hms and tags
+        # are already at base_hw, and the no-op gather costs real HBM
+        # traffic on the (2B, H', W', J) f32 tensors
+        if (int(t.shape[1]), int(t.shape[2])) == tuple(base_hw):
+            return t
+        return resize_bilinear(t, base_hw, align_corners=True)
+
     for scale in scales:
         if scale == 1.0:
             x = img
@@ -95,7 +104,7 @@ def tta_forward(apply_fn: Callable, img: jax.Array,
         if base_hw is None:
             base_hw = (int(refined.shape[1]), int(refined.shape[2]))
 
-        hms = resize_bilinear(hms, base_hw, align_corners=True)
+        hms = to_base(hms, base_hw)
         if with_flip:
             hm = hms[:b] + flip_back(hms[b:])
             n_contrib += 2
@@ -105,7 +114,7 @@ def tta_forward(apply_fn: Callable, img: jax.Array,
         hm_acc = hm if hm_acc is None else hm_acc + hm
 
         if scale == 1.0:  # tags only from the primary scale (HHRNet)
-            tags_up = resize_bilinear(tags, base_hw, align_corners=True)
+            tags_up = to_base(tags, base_hw)
             tag_list.append(tags_up[:b])
             if with_flip:
                 tag_list.append(flip_back(tags_up[b:]))
