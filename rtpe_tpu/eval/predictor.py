@@ -330,16 +330,16 @@ class PosePredictor:
         N's host-side decode runs (jax dispatch is asynchronous), so
         device compute and host grouping overlap — sustained throughput
         approaches ``max(forward, decode)`` instead of their sum.  TTA
-        configs fall back to the sequential path.
+        configs pipeline the same way: ``tta_forward`` is pure device
+        work (flip as a doubled leading axis, per-scale dispatches,
+        on-device aggregation), so its dispatch is just as asynchronous
+        as the plain forward's.
         """
-        if self.with_flip or self.scales != (1.0,):
-            for im in images_rgb:
-                yield self.predict(im)
-            return
+        use_tta = self.with_flip or self.scales != (1.0,)
+        if use_tta:
+            from .tta import tta_forward
 
-        def decode(outs, center, scale):
-            coarse, refined = outs
-            hms, tags = self._decode_outputs(coarse, refined)
+        def decode(hms, tags, center, scale):
             grouped, scores = self._parse(hms, tags)
             return self._finalize(grouped[0], scores[0], center, scale,
                                   (int(hms.shape[1]), int(hms.shape[2])))
@@ -347,10 +347,17 @@ class PosePredictor:
         pending = None
         for im in images_rgb:
             x_np, center, scale = self._preprocess(im)
-            outs = self._fwd(jnp.asarray(x_np[None]))  # async dispatch
+            x = jnp.asarray(x_np[None])
+            # all device ops — dispatch is asynchronous on both paths
+            if use_tta:
+                hms, tags = tta_forward(self._fwd, x, self.num_joints,
+                                        self.with_flip, self.scales)
+            else:
+                coarse, refined = self._fwd(x)
+                hms, tags = self._decode_outputs(coarse, refined)
             if pending is not None:
                 yield decode(*pending)  # overlaps the device forward
-            pending = (outs, center, scale)
+            pending = (hms, tags, center, scale)
         if pending is not None:
             yield decode(*pending)
 

@@ -69,6 +69,10 @@ def main():
                    help="Activation-scale JSON (models.save_act_scales)"
                         ": used if it exists, else written after "
                         "calibration")
+    p.add_argument("--flip", action="store_true",
+                   help="Flip-TTA on the streamed forward (doubled "
+                        "leading axis, still pipelined — ~1.8x the "
+                        "per-frame device cost for 2 forwards)")
     p.add_argument("-o", "--out_dir", default=None,
                    help="If set, write annotated frames here")
     p.add_argument("--save_frames", type=int, default=8,
@@ -121,7 +125,8 @@ def main():
     pred = PosePredictor(model, variables,
                          input_size=args.input_size,
                          packed=args.packed, int8=args.int8,
-                         int8_act=args.int8_act, **kw)
+                         int8_act=args.int8_act,
+                         with_flip=args.flip, **kw)
     if args.int8 and args.act_scales \
             and not os.path.exists(args.act_scales):
         from rtpe_tpu.models import save_act_scales

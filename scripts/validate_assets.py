@@ -379,20 +379,28 @@ def step_stream_consistency(res, args, teacher):
     from rtpe_tpu.eval.predictor import PosePredictor
 
     model, variables = teacher
-    pred = PosePredictor(model, variables, input_size=320, packed=True)
     frames = [np.asarray(Image.open(f).convert("RGB")) for f in imgs]
-    streamed = list(pred.stream(iter(frames)))
-    ok, detail = len(streamed) == len(frames), ""
-    for frame, (people, _) in zip(frames, streamed):
-        p1, _ = pred.predict(frame)
-        if len(people) != len(p1) or not all(
-                np.allclose(np.asarray(a), np.asarray(b),
-                            rtol=1e-4, atol=1e-4)
-                for a, b in zip(people, p1)):
-            ok, detail = False, "per-frame people mismatch"
+    ok, detail = True, ""
+    for label, kw in (("packed", {}),
+                      ("packed+flip", {"with_flip": True})):
+        pred = PosePredictor(model, variables, input_size=320,
+                             packed=True, **kw)
+        streamed = list(pred.stream(iter(frames)))
+        if len(streamed) != len(frames):
+            ok, detail = False, f"{label}: frame count mismatch"
+            break
+        for frame, (people, _) in zip(frames, streamed):
+            p1, _ = pred.predict(frame)
+            if len(people) != len(p1) or not all(
+                    np.allclose(np.asarray(a), np.asarray(b),
+                                rtol=1e-4, atol=1e-4)
+                    for a, b in zip(people, p1)):
+                ok, detail = False, f"{label}: per-frame people mismatch"
+                break
+        if not ok:
             break
     res.record("stream_matches_predict", ok,
-               detail or f"({len(frames)} frames, packed)")
+               detail or f"({len(frames)} frames, packed + flip)")
 
 
 def step_artifact_roundtrip(res, args, teacher):

@@ -403,6 +403,19 @@ def test_predictor_stream_matches_predict(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
 
+    # flip-TTA streams through the SAME pipelined path (tta_forward is
+    # pure device work, so its dispatch overlaps host grouping exactly
+    # like the plain forward) — per-frame results must equal predict()
+    pred_f = PosePredictor(model, v, input_size=96, with_flip=True)
+    streamed_f = list(pred_f.stream(iter(frames)))
+    assert len(streamed_f) == 3
+    for frame, (people, scores) in zip(frames, streamed_f):
+        p1, s1 = pred_f.predict(frame)
+        assert len(people) == len(p1)
+        for a, b in zip(people, p1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
 
 @pytest.mark.slow
 def test_int8_decode_on_trained_weights(tmp_path):
