@@ -259,8 +259,12 @@ def test_dataloader_demo_cli(cli_coco, tmp_path):
     assert "AP" in out
 
 
-def test_realtime_demo_cli(cli_coco, tmp_path):
-    """Streamed frames -> one JSON stats line + annotated dumps."""
+@pytest.mark.parametrize("flip", [False, True])
+def test_realtime_demo_cli(cli_coco, tmp_path, flip):
+    """Streamed frames -> one JSON stats line + annotated dumps.
+
+    The flip variant drives the pipelined flip-TTA stream (tta_forward
+    dispatched async per frame) through the same CLI contract."""
     img_dir = os.path.join(cli_coco, "images", "val2017")
     frames = [os.path.join(img_dir, f)
               for f in sorted(os.listdir(img_dir))][:3]
@@ -268,7 +272,8 @@ def test_realtime_demo_cli(cli_coco, tmp_path):
     res = _run("realtime_demo.py", [
         "-I", *frames, "-m", str(tmp_path / "absent.pth"),
         "--allow_random_init", "--loops", "2", "--input_size", "128",
-        "-o", out_dir, "--save_frames", "2"])
+        "-o", out_dir, "--save_frames", "2",
+        *(["--flip"] if flip else [])])
     stats = json.loads(res.stdout.strip().splitlines()[-1])
     assert stats["frames"] == 6
     assert stats["path"] == "packed"
