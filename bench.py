@@ -23,10 +23,18 @@ latency/throughput.
 Reliability: each section runs in its OWN SUBPROCESS with a timeout and
 one retry.  The remote-compile service of this environment's tunneled
 TPU backend wedges a process's compilation indefinitely in ~half of
-launches (see .claude/skills/verify/SKILL.md); parallel-client pokes
-(utils/watchdog.py) no longer reliably flush it, so kill+retry at the
-process level is the only dependable cure.  A wedged section costs its
-timeout, never the whole bench.
+launches on bad days — and occasionally outright (r4: EVERY compile
+wedged for hours while ``jax.devices()`` answered fine, and the old
+headline-first retry policy burned the whole driver window on four
+420 s attempts).  The orchestrator therefore (a) probes the COMPILE
+service with a cheap bounded trivial-jit subprocess before the
+headline and after failures, (b) runs the compile-free host metrics
+first while the service is sick and re-probes on a backoff, (c) caps
+the up-front headline attempts at two and returns to it with whatever
+budget remains, and (d) bounds every launch by the battery deadline so
+total spend stays inside the driver window (default budget 1500 s —
+the r4 driver killed at ~1680 s).  A wedged section costs its timeout,
+never the whole bench; sections flush each metric as it lands.
 
 Measurement notes: some execution backends cache identical dispatches,
 so each timed run chains N forwards inside one jitted ``lax.scan`` with
@@ -517,6 +525,39 @@ def _make_crowded_batch(rng2, b):
     return det, tag
 
 
+def _resolved_lap(lap, single_image):
+    """The solver ``lap="auto"`` RESOLVES to for the bench shapes.
+
+    VERDICT r4 item 3: flushing the literal ``"auto"`` hid which rung
+    actually ran (the selfcheck gate can silently demote), so a slow
+    record could not be told apart from a demoted kernel.  The bench
+    disables the selfcheck (RTPE_LAP_SELFCHECK=0, module top), so this
+    out-of-jit resolution is exactly what the jitted decode traces."""
+    if lap != "auto":
+        return lap
+    from rtpe_tpu.decode import fused as fused_mod
+    return fused_mod._resolve_auto_lap(30, 90, 17, 1,
+                                       single_image=single_image)
+
+
+def _flush_selfcheck(resolved, key):
+    """Record the on-device kernel-vs-XLA grouping parity verdict.
+
+    Runs AFTER the timing metrics are flushed so a wedge here costs
+    only the verdict; only kernel solvers have one."""
+    if resolved not in ("greedy", "lockstep", "kernel"):
+        return
+    try:
+        from rtpe_tpu.decode import fused as fused_mod
+        solver = "lap" if resolved == "kernel" else resolved
+        with compile_deadline(150):
+            ok = fused_mod.kernel_selfcheck(30, 90, 17, 1,
+                                            solver=solver)
+        flush_metric({key: bool(ok)})
+    except Exception as e:
+        log(f"selfcheck unavailable: {type(e).__name__}: {e}")
+
+
 def section_decode_fused1():
     """Device-only fused single-image decode (VERDICT r2 item 5): the
     whole NMS->top-k->group->adjust->refine program scan-chained with
@@ -555,11 +596,17 @@ def section_decode_fused1():
                 jax.device_get(dec_c(d2, tj))
                 dtimes.append(time.time() - t0)
             dev_ms = float(np.median(dtimes)) / SCAN_LEN * 1e3
+            resolved = _resolved_lap(lap, single_image=True)
             log(f"decode device-only: {dev_ms:.2f} ms/img "
-                f"(fused single-dispatch, lap={lap}, "
+                f"(fused single-dispatch, lap={resolved}, "
                 f"scan-chained x{SCAN_LEN})")
-            flush_metric({"decode_device_p50_ms_320": round(dev_ms, 2),
-                          "decode_device_lap": lap})
+            flush_metric({
+                "decode_device_p50_ms_320": round(dev_ms, 2),
+                "decode_device_lap": resolved,
+                "decode_device_ms_reps": [
+                    round(t / SCAN_LEN * 1e3, 2) for t in dtimes],
+            })
+            _flush_selfcheck(resolved, "decode_device_selfcheck")
             return dict(_PARTIAL)
         except Exception as e:  # a Mosaic lowering error must degrade
             # the rung exactly like a wedged compile (r4: the greedy
@@ -606,23 +653,30 @@ def section_decode_fused32():
                 decb_c = jax.jit(decb_loop).lower(djd, tjd).compile()
                 jax.device_get(decb_c(djd, tjd))
             btimes = []
-            for t in range(3):
+            for t in range(5):
                 d2 = jnp.asarray(detd + (rng2.rand(*detd.shape) * 1e-4
                                          ).astype(np.float32))
                 jax.device_get(jnp.sum(d2))
                 t0 = time.time()
                 jax.device_get(decb_c(d2, tjd))
                 btimes.append(time.time() - t0)
-            bdt = min(btimes) / SCAN_LEN
+            # median, not min (VERDICT r4 item 3): the tunnel's
+            # dispatch jitter swings single reps ~2x; the rep list is
+            # flushed so a slow-service day is visible in the record
+            bdt = float(np.median(btimes)) / SCAN_LEN
+            resolved = _resolved_lap(lap, single_image=False)
             log(f"decode device-only batched: {bdt / Bd * 1e3:.2f} "
                 f"ms/img ({Bd / bdt:.1f} img/s, batch={Bd} crowded, "
-                f"lap={lap})")
+                f"lap={resolved})")
             flush_metric({
                 "decode_device_ms_per_img_batch32":
                     round(bdt / Bd * 1e3, 2),
                 "decode_device_img_s_batch32": round(Bd / bdt, 1),
-                "decode_device_batch_lap": lap,
+                "decode_device_batch_lap": resolved,
+                "decode_device_batch_ms_img_reps": [
+                    round(t / SCAN_LEN / Bd * 1e3, 2) for t in btimes],
             })
+            _flush_selfcheck(resolved, "decode_device_batch_selfcheck")
             return dict(_PARTIAL)
         except Exception as e:
             log(f"decode_fused32 lap={lap}: {type(e).__name__}: {e}; "
@@ -634,13 +688,50 @@ def section_decode_host():
     """Production parse_batch (top-k+adjust dispatch, fast host
     grouping, filtered batched device refine): blocking host-visible
     latency, which on this tunnel includes a ~30 ms fixed round trip
-    per dispatch."""
+    per dispatch.
+
+    Starts with a COMPILE-FREE pure-numpy host-grouping metric (the
+    cost the reference pays per image in its munkres loop,
+    `rtpe/third_party/group.py:266-287`): during a compile-service
+    outage (r4: every jit wedged while jax.devices() stayed healthy)
+    this is the one decode number that still lands, and the
+    orchestrator runs this section first while the service is sick."""
     import jax.numpy as jnp
 
     from rtpe_tpu.decode import HeatmapParser
+    from rtpe_tpu.decode.group import GroupingParams, match_by_tag
+    from rtpe_tpu.decode.group_fast import match_by_tag_fast
+
+    rng2 = np.random.RandomState(0)
+
+    # host grouping, zero device involvement: crowded top-k fixtures
+    # (J=17, K=30, ~12 real peaks/joint in 4 tag clusters)
+    J, K = 17, 30
+    gp = GroupingParams(J, 30, 0.1, 1.0, True, False)
+    tag_k = (rng2.randint(0, 4, (J, K, 1)) * 2.0
+             + rng2.randn(J, K, 1) * 0.1).astype(np.float32)
+    loc_k = rng2.randint(0, 320, (J, K, 2)).astype(np.float32)
+    val_k = np.where(np.arange(K)[None, :] < 12,
+                     rng2.rand(J, K) * 0.8 + 0.2, 0.0
+                     ).astype(np.float32)
+    match_by_tag_fast(tag_k, loc_k, val_k, gp)  # warm the code paths
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        match_by_tag_fast(tag_k, loc_k, val_k, gp)
+    fast_ms = (time.time() - t0) / reps * 1e3
+    t0 = time.time()
+    for _ in range(5):
+        match_by_tag(tag_k, loc_k, val_k, gp)
+    oracle_ms = (time.time() - t0) / 5 * 1e3
+    log(f"host grouping (compile-free): fast {fast_ms:.2f} ms/img, "
+        f"reference-oracle {oracle_ms:.2f} ms/img (J=17, K=30)")
+    flush_metric({
+        "decode_hostgroup_fast_ms_img": round(fast_ms, 2),
+        "decode_hostgroup_oracle_ms_img": round(oracle_ms, 2),
+    })
 
     parser = HeatmapParser(num_joints=17, max_num_people=30)
-    rng2 = np.random.RandomState(0)
 
     # single sparse image (round-1-comparable number)
     det, tag = _make_sparse_det(rng2)
@@ -943,7 +1034,7 @@ SECTIONS = {
 
 # --------------------------------------------------------- orchestrator
 
-def _run_section_subprocess(name, env_extra=None):
+def _run_section_subprocess(name, env_extra=None, timeout=None):
     """Run one section in a child process; return its dict or None.
 
     The child's result travels through a temp file (``--out``), not
@@ -951,9 +1042,16 @@ def _run_section_subprocess(name, env_extra=None):
     discard the whole section (ADVICE r2).  Sections flush each metric
     to the file as it lands (:func:`flush_metric`), so on a timeout or
     crash the partial result is still collected — a wedge costs the
-    metrics after it, never the ones before."""
+    metrics after it, never the ones before.
+
+    ``timeout`` (orchestrator-supplied) caps the section at the time
+    remaining in the battery window, so a section launched near the
+    deadline cannot overshoot it by its full SECTION_TIMEOUT — the r4
+    driver run was killed externally (rc=124) because spend was only
+    checked between launches."""
     import tempfile
-    timeout = SECTION_TIMEOUT[name]
+    if timeout is None:
+        timeout = SECTION_TIMEOUT[name]
     fd, out_path = tempfile.mkstemp(prefix=f"bench_{name}_",
                                     suffix=".json")
     os.close(fd)
@@ -1031,13 +1129,53 @@ def _probe_devices(timeout_s=120):
         return False, ""
 
 
+def _probe_compile(timeout_s=120):
+    """Health probe of the remote COMPILE service, in a throwaway
+    child.  The r4 driver run proved device discovery and compilation
+    fail independently: ``jax.devices()`` answered instantly while
+    every compile wedged forever, and the orchestrator burned its
+    whole window on four 420 s headline attempts (`BENCH_r04.json`:
+    rc=124, value 0.0).  A trivial jit answers in ~2 s healthy and in
+    tens of seconds on a slow service; a wedge never returns, and the
+    subprocess timeout converts that into a cheap, bounded "sick"
+    verdict the orchestrator can schedule around."""
+    code = ("import rtpe_tpu, jax, jax.numpy as jnp\n"
+            "y = jax.jit(lambda a: a @ a)("
+            "jnp.ones((256, 256), jnp.float32))\n"
+            "jax.block_until_ready(y)\n"
+            "print('COMPILE_OK')\n")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=timeout_s, cwd=os.path.dirname(_FILE))
+        return r.returncode == 0 and "COMPILE_OK" in (r.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import signal
 
+    # The default budget is calibrated to the DRIVER window, not the
+    # builder's battery environment: the r4 driver killed the bench
+    # (rc=124) after ~1680 s of spend, while the default then was
+    # 3300 s — so the deadline guard never fired and four wedged
+    # 420 s headline attempts consumed everything (VERDICT r4 item
+    # 1c).  1500 s leaves flush slack inside the observed window;
+    # builder batteries override with RTPE_BENCH_BUDGET_S=3300.
+    budget = float(os.environ.get("RTPE_BENCH_BUDGET_S", "1500"))
+    deadline = time.time() + budget
+
+    def remaining():
+        return deadline - time.time()
+
     # liveness gate: wait (bounded) for a wedged device tunnel to
     # recover instead of hanging the orchestrator or burning every
-    # section's timeout against a dead backend
-    wait_budget = float(os.environ.get("RTPE_BENCH_WAIT_TPU_S", "900"))
+    # section's timeout against a dead backend.  The wait scales with
+    # the window: spending 900 s of a 1500 s window waiting (the old
+    # default) would leave no room to measure anything.
+    wait_budget = float(os.environ.get(
+        "RTPE_BENCH_WAIT_TPU_S", str(min(600.0, budget * 0.3))))
     t_wait0 = time.time()
     while True:
         alive, plat = _probe_devices()
@@ -1051,22 +1189,10 @@ def main():
             break
         log("device discovery wedged; retrying in 60s")
         time.sleep(60)
-    # r3's driver run lost the canonical section to the old 1200 s
-    # budget; every section is individually time-bounded and flushes
-    # per-metric, so a roomier default only spends time when sections
-    # are actually producing numbers
-    # 2100 -> 2700 (r4): room for the last-slot pipeline_int8act
-    # showcase; sections still flush per-metric, so a driver kill
-    # mid-battery costs only the sections not yet run
-    # 2700 -> 3300 (late r4): the 22:08 battery's compile service ran
-    # ~3x slower than the 12:10 one (headline compile 99 s -> 325 s)
-    # and the budget expired before the pipeline sections — slack
-    # absorbs service variance; a driver SIGTERM still flushes
-    deadline = time.time() + float(
-        os.environ.get("RTPE_BENCH_BUDGET_S", "3300"))
 
     headline = None
     extra = {}
+    done = set()
 
     # if the caller TERMs us mid-run (driver timeout), still emit the
     # one-JSON-line contract with everything collected so far
@@ -1076,77 +1202,129 @@ def main():
         os._exit(0)
 
     signal.signal(signal.SIGTERM, _flush)
-    # the headline is the contract: keep retrying it while anything
-    # remains of the budget (each attempt is bounded by its timeout;
-    # the first attempt always runs)
-    for attempt in range(4):
-        headline = _run_section_subprocess("headline")
+
+    def launch(name, env_extra=None):
+        """Launch a section bounded by BOTH its own timeout and the
+        battery deadline; record whatever it flushed.  The headline's
+        value/bs stay top-level in the result JSON — its efficiency
+        extras are merged by the caller."""
+        t = int(min(SECTION_TIMEOUT[name], max(0.0, remaining())))
+        if t < 90:
+            log(f"[{name}] skipped ({t}s left < 90s floor)")
+            return None
+        got = _run_section_subprocess(name, env_extra, timeout=t)
+        if got is not None:
+            if name != "headline":
+                extra.update(got)
+            done.add(name)
+        return got
+
+    probe_t = int(float(os.environ.get("RTPE_BENCH_PROBE_S", "120")))
+
+    # ---- compile-service gate (VERDICT r4 item 1a).  While the
+    # service is sick: land the compile-free host metrics first, then
+    # re-probe on a backoff instead of burning 420 s headline slots.
+    healthy = _probe_compile(probe_t)
+    log(f"compile-service probe: {'healthy' if healthy else 'SICK'}")
+    if not healthy:
+        launch("decode_host")  # flushes pure-host grouping first
+        backoff = 60
+        while remaining() > probe_t + 180:
+            time.sleep(min(backoff, max(1.0, remaining() - probe_t)))
+            healthy = _probe_compile(probe_t)
+            if healthy:
+                log("compile service recovered")
+                break
+            log(f"compile service still sick; backing off")
+            backoff = min(backoff * 2, 240)
+
+    # ---- headline: at most TWO attempts up front (r4 burned the
+    # whole window on four); if it is still missing it gets the
+    # remaining budget at the END, after every other ask-tied metric
+    # had its chance (VERDICT r4 item 1b)
+    for attempt in range(2):
+        if remaining() <= 0:
+            break
+        headline = launch("headline")
         if headline is not None and "value" in headline:
             break
         headline = None
-        if time.time() > deadline:
-            log(f"headline attempt {attempt + 1} failed; budget exhausted")
+        log(f"headline attempt {attempt + 1} failed")
+        if attempt == 0 and remaining() > 0 and not _probe_compile(
+                probe_t):
+            log("compile service probes SICK after headline failure; "
+                "deferring the retry to the end of the battery")
             break
-        log(f"headline attempt {attempt + 1} failed; retrying")
     if headline:
         # the headline section's own efficiency extras ride along —
         # _result_json keeps only value/bs (VERDICT r3 item 1(a))
         extra.update({k: v for k, v in headline.items()
                       if k not in ("value", "bs")})
-    # extras in value order: the train step is a driver-tracked metric
-    # (VERDICT r1 item 4), and decode runs BEFORE the int8 showcase
-    # (VERDICT r3 item 1(d)) so a slow compile service cuts the
-    # showcase, not the asked-for numbers
-    # pipeline_int8act runs LAST: pure upside — if the budget runs out
-    # it is skipped without costing any twice-validated metric
-    # every metric tied to a VERDICT done-criterion runs BEFORE the r4
-    # upside sections: canonical (r3 item 1), int8act (item 5's >=550
-    # target), tta (item 4's logged img/s) all precede the pipeline
-    # composition benches, whose bs128 compile showed 113 s -> >380 s
-    # variance on the tunneled compile service (2026-08-19 battery) —
-    # a double timeout there must not starve an asked-for number
-    # sections whose metric closes a VERDICT done-criterion; the
-    # pipeline/int8 showcases are upside and never extend the run
-    ASK_TIED = {"train", "decode_fused1", "decode_fused32",
-                "decode_host", "canonical", "int8act", "tta"}
-    for name in ("train", "decode_fused1", "decode_fused32",
-                 "decode_host", "canonical", "int8act", "tta",
-                 "int8", "pipeline", "pipeline_lat1",
-                 "pipeline_int8act"):
-        if time.time() > deadline:
+
+    # ---- main order: ask-tied metrics (VERDICT r5 done-criterion:
+    # headline+%-peak, all three decode metrics, train, int8act, tta)
+    # run before every upside section; decode first — three rounds of
+    # verdicts have asked for driver-captured decode numbers and no
+    # driver JSON has ever contained them
+    ASK_TIED = {"decode_fused1", "decode_fused32", "decode_host",
+                "train", "int8act", "tta", "canonical"}
+    ORDER = ("decode_fused1", "decode_fused32", "decode_host",
+             "train", "int8act", "tta", "canonical",
+             "int8", "pipeline_lat1", "pipeline", "pipeline_int8act")
+    pending = []
+    for name in ORDER:
+        if name in done:
+            continue
+        if remaining() <= 0:
             log(f"[{name}] skipped (budget)")
             continue
-        got = _run_section_subprocess(name)
-        if got is None and name.startswith("decode_fused"):
+        got = launch(name)
+        if got is None and name.startswith("decode_fused") \
+                and remaining() > 0:
             # the compile-service wedge is per-PROCESS sticky (verify
             # notes): a kernel-rung _CompileTimeout usually means the
             # process is wedged, not the kernel — so the first retry
-            # re-runs the full lap=auto ladder in a FRESH process
-            # (2026-08-19 battery: the in-process xla rung hung in the
-            # same wedged process, and the old xla-pinned retry then
-            # recorded 14.19 ms/img where the healthy kernel does 0.54)
+            # re-runs the full lap=auto ladder in a FRESH process;
+            # an xla-pinned rung in the SAME process once recorded
+            # 14.19 ms/img where the healthy kernel does ~1
             log(f"[{name}] retrying once (fresh process, lap=auto)")
-            got = _run_section_subprocess(name)
-        if got is None:  # last resort for fused decode: pin the XLA
-            # rung so a genuine Mosaic regression still degrades the
-            # number instead of erasing it
+            got = launch(name)
+        if got is None and remaining() > 0:
+            # a failure may be section-local or service-wide: probe
+            # before spending another slot (VERDICT r4 item 1a —
+            # "re-probe between failed sections")
+            if not _probe_compile(probe_t):
+                log(f"[{name}] failed and compile service probes "
+                    f"SICK; deferring")
+                if name in ASK_TIED:
+                    pending.append(name)
+                continue
             log(f"[{name}] retrying once")
             env2 = ({"RTPE_BENCH_LAP": "xla"}
                     if name.startswith("decode_fused") else None)
-            got = _run_section_subprocess(name, env_extra=env2)
-        if got is None and name in ASK_TIED \
-                and time.time() < deadline + 900:
-            # ask-tied metrics earn a second retry: the wedge is
-            # per-launch ~50% on bad days (2026-08-19 battery lost
-            # int8act to two consecutive wedges), so one more launch
-            # raises the section's survival from 75% to ~88%; the
-            # +900 s grace can only extend the run when a VERDICT
-            # done-criterion number is still missing, and a driver
-            # SIGTERM still flushes everything collected
-            log(f"[{name}] second retry (ask-tied metric)")
-            got = _run_section_subprocess(name)
-        if got is not None:
-            extra.update(got)
+            got = launch(name, env_extra=env2)
+        if got is None and name in ASK_TIED:
+            pending.append(name)
+
+    # ---- final pass with whatever budget remains: the headline
+    # first (it is the contract), then deferred ask-tied sections
+    while headline is None and remaining() > 90:
+        log("final headline attempt (remaining budget)")
+        headline = launch("headline")
+        if headline is not None and "value" in headline:
+            extra.update({k: v for k, v in headline.items()
+                          if k not in ("value", "bs")})
+            break
+        headline = None
+        if remaining() > probe_t and not _probe_compile(probe_t):
+            log("compile service still sick; stopping headline "
+                "retries")
+            break
+    for name in pending:
+        if name in done or remaining() <= 0:
+            continue
+        log(f"[{name}] final retry (ask-tied metric)")
+        launch(name)
 
     print(json.dumps(_result_json(headline, extra)))
 

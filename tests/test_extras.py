@@ -362,7 +362,7 @@ def test_bench_ask_tied_sections_get_second_retry(monkeypatch, capsys):
 
     calls = {}
 
-    def fake_run(name, env_extra=None):
+    def fake_run(name, env_extra=None, timeout=None):
         calls[name] = calls.get(name, 0) + 1
         if name == "headline":
             return {"value": 100.0, "bs": 128, "headline_extra": 1.0}
@@ -375,6 +375,7 @@ def test_bench_ask_tied_sections_get_second_retry(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "_run_section_subprocess", fake_run)
     monkeypatch.setattr(bench, "_probe_devices", lambda **kw: (True, "cpu"))
+    monkeypatch.setattr(bench, "_probe_compile", lambda *a, **kw: True)
     monkeypatch.setenv("RTPE_BENCH_BUDGET_S", "3300")
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
@@ -382,6 +383,76 @@ def test_bench_ask_tied_sections_get_second_retry(monkeypatch, capsys):
     assert result["value"] == 100.0
     assert result["extra"]["int8act_forward_img_s_bs128"] == 555.0
     assert result["extra"]["headline_extra"] == 1.0
-    assert calls["int8act"] == 3   # second retry fired (ask-tied)
+    assert "value" not in result["extra"]  # headline stays top-level
+    assert calls["int8act"] == 3   # final retry fired (ask-tied)
     assert calls["pipeline"] == 2  # upside sections keep one retry
     assert calls["train"] == 1     # healthy sections run once
+
+
+def test_bench_outage_flushes_host_metrics(monkeypatch, capsys):
+    """Simulated 100%-wedge compile-service outage (the r4 driver-run
+    failure mode: device discovery healthy, EVERY compile wedges,
+    BENCH_r04.json landed empty after four 420 s headline burns).
+    The orchestrator must (a) detect the sick service with the cheap
+    probe, (b) land the compile-free host-grouping metrics, (c) cap
+    headline attempts at <=2, and (d) finish INSIDE the observed
+    driver window (~1680 s) so the final JSON line is printed by the
+    bench, not salvaged by a SIGTERM."""
+    import importlib.util
+    import json as _json
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "bench_outage", _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class FakeTime:
+        t = 0.0
+
+        @classmethod
+        def time(cls):
+            return cls.t
+
+        @classmethod
+        def sleep(cls, s):
+            cls.t += s
+
+    calls = {}
+    PROBE_T = 120.0
+
+    def fake_probe_compile(timeout_s=120):
+        FakeTime.t += PROBE_T  # a sick probe costs its full timeout
+        calls["probe"] = calls.get("probe", 0) + 1
+        return False
+
+    def fake_run(name, env_extra=None, timeout=None):
+        calls[name] = calls.get(name, 0) + 1
+        assert timeout is not None and timeout <= bench.SECTION_TIMEOUT[
+            name], "orchestrator must deadline-bound every launch"
+        FakeTime.t += timeout  # every section wedges to its bound
+        if name == "decode_host":
+            # per-metric flush salvages the pure-host numbers even
+            # though the section later wedges on its first jit
+            return {"decode_hostgroup_fast_ms_img": 1.2,
+                    "decode_hostgroup_oracle_ms_img": 14.0}
+        return None
+
+    monkeypatch.setattr(bench, "time", FakeTime)
+    monkeypatch.setattr(bench, "_run_section_subprocess", fake_run)
+    monkeypatch.setattr(bench, "_probe_devices",
+                        lambda **kw: (True, "tpu"))
+    monkeypatch.setattr(bench, "_probe_compile", fake_probe_compile)
+    monkeypatch.setenv("RTPE_BENCH_BUDGET_S", "1500")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    result = _json.loads(out[-1])
+    # the compile-free host metrics are IN the driver artifact
+    assert result["extra"]["decode_hostgroup_fast_ms_img"] == 1.2
+    assert result["value"] == 0.0  # honest: no headline landed
+    # the whole battery stayed inside the observed driver window
+    assert FakeTime.t <= 1680, FakeTime.t
+    # headline burns are capped (r4 spent 4 x 420 s = the window)
+    assert calls.get("headline", 0) <= 2, calls
+    # the sick service was actually probed on a backoff
+    assert calls["probe"] >= 3, calls
