@@ -901,6 +901,8 @@ def _section_pipeline_impl(int8_act):
                         make_e2e(lap), pk, bs, 640, cost_out=cost)
                 log(f"  {img_s:.1f} img/s end-to-end")
                 out[f"{prefix}_img_s_bs{bs}"] = round(img_s, 1)
+                out[f"{prefix}_lap"] = _resolved_lap(
+                    lap, single_image=False)
                 out.update(_efficiency_extras(
                     img_s, cost, prefix,
                     peak_tflops=PEAK_TOPS_INT8 if int8_act

@@ -106,10 +106,20 @@ def run(name, fn, args, useful_flops):
         xn, _ = jax.lax.scan(body, x0, None, length=ITERS)
         return jnp.sum(xn.astype(jnp.float32))
 
-    jax.device_get(loop(args[0]))
-    t0 = time.perf_counter()
-    jax.device_get(loop(args[0]))
-    t = (time.perf_counter() - t0) / ITERS
+    x0 = args[0]
+    jax.device_get(loop(x0))
+    # time on a PERTURBED input: the relay caches whole executions
+    # with identical inputs (verify notes), and the in-scan data
+    # dependency does not protect the outer repeated call
+    ts = []
+    for r in range(3):
+        xr = (x0 + jnp.asarray(1e-3 * (r + 1), x0.dtype)
+              ).astype(x0.dtype)
+        jax.device_get(jnp.sum(xr))
+        t0 = time.perf_counter()
+        jax.device_get(loop(xr))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts)) / ITERS
     print(f"  {name:7s}: {t*1e3:7.2f} ms  {useful_flops/t/1e12:6.1f} "
           f"TFLOP/s useful", flush=True)
 

@@ -38,6 +38,14 @@ def _to_unit_rgb(image) -> np.ndarray:
     return img
 
 
+# Batches smaller than this are served through the bf16 packed program
+# when int8/int8-act is enabled: the measured crossover on the v5e chip
+# (experiments/int8_smallbatch.py, r5) — at bs 1 the quantized program
+# is ~40% SLOWER than bf16 (quantize/dequantize overhead does not
+# amortize), while from this batch on the int8 path wins.
+INT8_MIN_BATCH_DEFAULT = 4
+
+
 class PosePredictor:
     """Bottom-up multi-person pose inference with the W48 teacher head
     contract (coarse = heatmaps+tags @1/4, refined = heatmaps @1/2)."""
@@ -55,7 +63,8 @@ class PosePredictor:
                  act_scales=None,
                  mesh=None,
                  spatial_mesh=None,
-                 fused_decode: Optional[bool] = None):
+                 fused_decode: Optional[bool] = None,
+                 int8_min_batch: Optional[int] = None):
         """``packed=True`` serves the W48 teacher through the row-packed
         fast path (``models/hrnet_packed.py``): BN folded into bf16
         weights once here, ~1.9x the canonical forward throughput.
@@ -111,7 +120,20 @@ class PosePredictor:
         crowded batch-32).  Default (``None``) resolves to True on the
         TPU backend and False elsewhere (the hybrid host-grouping
         :meth:`~HeatmapParser.parse_batch` is the oracle-parity path
-        and faster than interpret-mode kernels on CPU)."""
+        and faster than interpret-mode kernels on CPU).
+
+        ``int8_min_batch`` — int8/int8-act serving auto-routes batches
+        SMALLER than this through the bf16 packed program: at bs 1 the
+        quantized forward is *slower* than bf16 (r4/r5 chip
+        measurements: 31.5 vs 22.4 ms end-to-end — the per-conv
+        quantize/dequantize ops only amortize batched), and realtime
+        single-stream latency is the one regime where that matters.
+        Default (``None``) resolves to the measured crossover
+        (:data:`INT8_MIN_BATCH_DEFAULT`,
+        ``experiments/int8_smallbatch.py``); ``0`` disables routing
+        (every batch runs quantized).  Note the routed small batches
+        return bf16 numerics — identical to serving the same image
+        with ``int8=False``."""
         self.model = model
         self.variables = variables
         self.num_joints = num_joints
@@ -123,6 +145,10 @@ class PosePredictor:
         self.with_flip = with_flip
         self.scales = tuple(scales)
         self.act_scales = None  # set by an int8 packed init
+        self._fwd_bf16 = None   # set by an int8 packed init (routing)
+        if int8_min_batch is None:
+            int8_min_batch = INT8_MIN_BATCH_DEFAULT
+        self.int8_min_batch = int(int8_min_batch)
         if int8 and not packed:
             raise ValueError("int8=True requires packed=True")
         if int8_act and not int8:
@@ -165,6 +191,7 @@ class PosePredictor:
                 quantize_packed)
             cfg = model.cfg
             pk = jax.jit(lambda v: pack_w48_params(v, cfg))(variables)
+            pk_bf16 = pk
             if int8:
                 if act_scales is not None:
                     if not isinstance(act_scales, dict):
@@ -205,6 +232,12 @@ class PosePredictor:
                 lambda x: packed_forward(pk, x, cfg,
                                          int8_act=int8_act),
                 compiler_options=serving_compiler_options())
+            if int8:
+                # small-batch realtime route: jit is lazy, so this
+                # costs nothing unless a small batch actually arrives
+                self._fwd_bf16 = jax.jit(
+                    lambda x: packed_forward(pk_bf16, x, cfg),
+                    compiler_options=serving_compiler_options())
         else:
             from ..utils.compile import serving_compiler_options
             self._fwd = jax.jit(
@@ -256,6 +289,15 @@ class PosePredictor:
             img * 255.0, self.input_size, 1, 1)
         return normalize_image(resized / 255.0), center, scale
 
+    def _route_fwd(self, n: int):
+        """The forward program for an ``n``-image call: below the int8
+        routing threshold the bf16 packed program serves (faster at
+        small batch AND bf16-exact numerics); ``n`` counts user images
+        — TTA's internal flip-doubling doesn't change the regime."""
+        if self._fwd_bf16 is not None and n < self.int8_min_batch:
+            return self._fwd_bf16
+        return self._fwd
+
     def _parse(self, hms, tags):
         if self.fused_decode:
             return self.parser.parse_fused_batch(hms, tags)
@@ -303,7 +345,7 @@ class PosePredictor:
         for idxs in groups.values():
             batch = np.stack([pre[i][0] for i in idxs])
             n = len(idxs)
-            fwd = self._fwd
+            fwd = self._route_fwd(n)
             if self._fwd_sharded is not None:
                 d = self.mesh.shape["data"]
                 padded_n = -(-n // d) * d
@@ -349,11 +391,12 @@ class PosePredictor:
             x_np, center, scale = self._preprocess(im)
             x = jnp.asarray(x_np[None])
             # all device ops — dispatch is asynchronous on both paths
+            fwd = self._route_fwd(1)
             if use_tta:
-                hms, tags = tta_forward(self._fwd, x, self.num_joints,
+                hms, tags = tta_forward(fwd, x, self.num_joints,
                                         self.with_flip, self.scales)
             else:
-                coarse, refined = self._fwd(x)
+                coarse, refined = fwd(x)
                 hms, tags = self._decode_outputs(coarse, refined)
             if pending is not None:
                 yield decode(*pending)  # overlaps the device forward
@@ -370,12 +413,13 @@ class PosePredictor:
         x_np, center, scale = self._preprocess(image_rgb)
         x = jnp.asarray(x_np[None])
 
+        fwd = self._route_fwd(1)
         if self.with_flip or self.scales != (1.0,):
             from .tta import tta_forward
-            hms, tags = tta_forward(self._fwd, x, self.num_joints,
+            hms, tags = tta_forward(fwd, x, self.num_joints,
                                     self.with_flip, self.scales)
         else:
-            coarse, refined = self._fwd(x)
+            coarse, refined = fwd(x)
             hms, tags = self._decode_outputs(coarse, refined)
 
         grouped, scores = self._parse(hms, tags)

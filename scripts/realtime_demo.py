@@ -178,6 +178,16 @@ def main():
         "path": ("int8_act" if args.int8_act else
                  "int8" if args.int8 else
                  "packed" if args.packed else "canonical"),
+        # TTA state must be in the archived record: a --flip run's FPS
+        # is not comparable to a plain run's (ADVICE r4)
+        "flip": bool(args.flip),
+        # bs-1 streaming with int8/int8-act routes through the bf16
+        # program below the predictor's threshold (r5) — record which
+        # program actually served so archived latency numbers are
+        # attributable
+        "routed_bf16": bool((args.int8 or args.int8_act)
+                            and 1 < pred.int8_min_batch
+                            and pred._fwd_bf16 is not None),
     }
     log.info(f"sustained {stats['fps_sustained']} FPS, "
              f"p50 {stats['lat_p50_ms']} ms")

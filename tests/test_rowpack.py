@@ -332,15 +332,19 @@ def test_packed_int8_predictor_smoke(rng):
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                    train=False)
     img = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+    # int8_min_batch=0: this smoke must drive the QUANTIZED program at
+    # bs 1 (the default routes small batches through bf16, r5)
     pred = PosePredictor(model, v, input_size=96, packed=True, int8=True,
-                         calibration_images=[rng.rand(80, 100, 3)])
+                         calibration_images=[rng.rand(80, 100, 3)],
+                         int8_min_batch=0)
     people, scores = pred.predict(img)
     assert isinstance(people, list) and isinstance(scores, list)
 
     # int8_act stacks on int8: same API, int8-stored activations
     pred_a = PosePredictor(model, v, input_size=96, packed=True,
                            int8=True, int8_act=True,
-                           calibration_images=[rng.rand(80, 100, 3)])
+                           calibration_images=[rng.rand(80, 100, 3)],
+                           int8_min_batch=0)
     people_a, scores_a = pred_a.predict(img)
     assert isinstance(people_a, list) and isinstance(scores_a, list)
 
@@ -411,6 +415,20 @@ def test_predictor_stream_matches_predict(rng):
     assert len(streamed_f) == 3
     for frame, (people, scores) in zip(frames, streamed_f):
         p1, s1 = pred_f.predict(frame)
+        assert len(people) == len(p1)
+        for a, b in zip(people, p1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    # multi-scale TTA also routes through the pipelined stream path
+    # (ADVICE r4: the path was live but exercised nowhere) — per-scale
+    # compiled shapes, on-device aggregation, same per-frame parity
+    pred_ms = PosePredictor(model, v, input_size=96, with_flip=True,
+                            scales=(1.0, 0.5))
+    streamed_ms = list(pred_ms.stream(iter(frames)))
+    assert len(streamed_ms) == 3
+    for frame, (people, scores) in zip(frames, streamed_ms):
+        p1, s1 = pred_ms.predict(frame)
         assert len(people) == len(p1)
         for a, b in zip(people, p1):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -109,6 +109,43 @@ def test_artifact_override_int8_off(tmp_path):
     _assert_same_serving(ref, bf16)
 
 
+def test_int8_small_batch_routes_bf16():
+    """VERDICT r4 item 6: int8/int8-act serving auto-routes batches
+    below ``int8_min_batch`` through the bf16 packed program (at bs 1
+    the quantized program measured SLOWER — 31.5 vs 22.4 ms — and
+    realtime single-stream is the regime where that matters).  Routed
+    calls must return bf16-exact numerics; ``int8_min_batch=0``
+    disables routing."""
+    cfg = _small_cfg()
+    model, variables = _model_vars(cfg)
+    calib = [_img(7, (96, 96))]
+    pred = PosePredictor(model, variables, input_size=128, packed=True,
+                         int8=True, calibration_images=calib,
+                         fused_decode=False)
+    bf16 = PosePredictor(model, variables, input_size=128, packed=True,
+                         fused_decode=False)
+    # program selection honors the threshold
+    assert pred.int8_min_batch >= 1  # measured default, not 0
+    assert pred._route_fwd(1) is pred._fwd_bf16
+    assert pred._route_fwd(pred.int8_min_batch) is pred._fwd
+    # a routed bs-1 predict equals the pure-bf16 predictor exactly
+    img = _img()
+    pa, sa = pred.predict(img)
+    pb, sb = bf16.predict(img)
+    assert len(pa) == len(pb) and list(sa) == list(sb)
+    for qa, qb in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))
+    # pinning 0 serves every batch quantized (no bf16 program at all
+    # is built lazily -> routing returns the quantized program)
+    pinned = PosePredictor(model, variables, input_size=128,
+                           packed=True, int8=True,
+                           calibration_images=calib,
+                           fused_decode=False, int8_min_batch=0)
+    assert pinned._route_fwd(1) is pinned._fwd
+    # bf16 predictors have no routing (nothing to route to)
+    assert bf16._route_fwd(1) is bf16._fwd
+
+
 def test_int8_export_requires_scales(tmp_path):
     cfg = _small_cfg()
     _, variables = _model_vars(cfg)
