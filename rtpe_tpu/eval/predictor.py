@@ -116,8 +116,8 @@ class PosePredictor:
 
         ``fused_decode`` — decode through the single-device-program
         fused path (:meth:`HeatmapParser.parse_fused_batch`: on TPU
-        the greedy grouping mega-kernel, 2.08 vs 7.6 ms/img at
-        crowded batch-32).  Default (``None``) resolves to True on the
+        the lockstep greedy grouping kernel, ~1.1 vs 7.6 ms/img at
+        crowded batch-32, r5 measurement).  Default (``None``) resolves to True on the
         TPU backend and False elsewhere (the hybrid host-grouping
         :meth:`~HeatmapParser.parse_batch` is the oracle-parity path
         and faster than interpret-mode kernels on CPU).
