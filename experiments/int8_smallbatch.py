@@ -57,7 +57,7 @@ def measure(fwd, pk, bs, hw=640):
                                (bs, hw, hw, 3), jnp.float32)
         jax.device_get(jnp.sum(x2))
         t0 = time.time()
-        jax.device_get(c(x2))
+        jax.device_get(c(pk, x2))
         times.append(time.time() - t0)
     ms_img = float(np.median(times)) / SCAN_LEN / bs * 1e3
     return ms_img, compile_s
