@@ -41,7 +41,7 @@ def _to_unit_rgb(image) -> np.ndarray:
 # Batches smaller than this are served through the bf16 packed program
 # when int8/int8-act is enabled: the measured crossover on the v5e chip
 # (experiments/int8_smallbatch.py, r5 forward-only ms/img — bf16 vs
-# int8-act: bs1 25.8/49.6, bs2 16.3/28.0, bs4 ~10/16.7, bs8 4.99/4.41)
+# int8-act: bs1 25.8/49.6, bs2 16.3/28.0, bs4 11.0/16.7, bs8 4.99/4.41)
 # — the quantize/dequantize passes only amortize once ~8 images fill
 # the MXU sublanes; from bs 8 the quantized path wins.
 INT8_MIN_BATCH_DEFAULT = 8
